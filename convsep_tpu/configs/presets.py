@@ -1,0 +1,164 @@
+"""Config dataclasses + per-dataset presets.
+
+Reference parity: the reference hard-codes all hyperparameters inside each
+example script (SURVEY.md §5.6 [H]); these presets replicate those
+constants as the single source of truth the tests pin against:
+
+* iKala  — fs 44100, frameSize 1024, hopSize 512, 513 bins, T=30, 2 sources
+* DSD100 — same transform, 4 sources (vocals/bass/drums/other)
+* Bach10 — frameSize 4096 (high-res), 4 instruments, score-informed input
+           channels (SURVEY.md §2.1 #10)
+* highres4096 — the BASELINE.json config-#5 4096-pt multi-resolution run
+
+Values are reconstructed ([M]/[L] per SURVEY provenance warning) and are
+deliberately config, not code: converted reference checkpoints are the
+shape oracle that corrects any wrong guess.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from convsep_tpu.models.convsep import ConvSepConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformConfig:
+    """STFT analysis settings (reference Transforms/transformFFT [U])."""
+
+    fs: int = 44100
+    frame_size: int = 1024
+    hop_size: int = 512
+    nfft: int | None = None  # None → frame_size
+    window: str = "sinebell"
+    iscale: str = "lin"
+
+    @property
+    def bins(self) -> int:
+        return (self.nfft or self.frame_size) // 2 + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training loop settings (reference train_auto [U])."""
+
+    batch_size: int = 32
+    num_epochs: int = 50
+    optimizer: str = "adadelta"
+    learning_rate: float = 1.0
+    alpha: float = 0.001
+    beta: float | None = None
+    beta_voc: float | None = None
+    vocals_idx: int = 0
+    other_idx: int | None = None
+    mult_factor_in: float = 0.3
+    mult_factor_out: float = 0.3
+    time_context: int = 30
+    overlap: int = 20  # training segment overlap in frames
+    checkpoint_every_steps: int = 500
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class SepConfig:
+    """Whole-track separation settings (reference separate_dsd.py [U])."""
+
+    wiener_p: float = 1.0
+    wiener_eps: float = 1e-8
+    # pad segment counts up to the next multiple of this to bound the number
+    # of distinct compiled shapes (SURVEY.md §7 hard-part #3)
+    segment_bucket: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class Preset:
+    name: str
+    sources: tuple[str, ...]
+    transform: TransformConfig
+    model: ConvSepConfig
+    train: TrainConfig
+    sep: SepConfig
+
+
+def _ikala() -> Preset:
+    t = TransformConfig()
+    return Preset(
+        name="ikala",
+        sources=("vocals", "accompaniment"),
+        transform=t,
+        model=ConvSepConfig(
+            time_context=30, feat_size=t.bins, channels_in=1, num_sources=2
+        ),
+        train=TrainConfig(alpha=0.001, beta_voc=0.03, vocals_idx=0),
+        sep=SepConfig(),
+    )
+
+
+def _dsd100() -> Preset:
+    t = TransformConfig()
+    return Preset(
+        name="dsd100",
+        sources=("vocals", "bass", "drums", "other"),
+        transform=t,
+        model=ConvSepConfig(
+            time_context=30,
+            feat_size=t.bins,
+            channels_in=1,
+            num_sources=4,
+            conv1_freq_stride=3,  # strided vertical conv [M]
+        ),
+        train=TrainConfig(alpha=0.001, beta=0.01, beta_voc=0.03, vocals_idx=0, other_idx=3),
+        sep=SepConfig(),
+    )
+
+
+def _bach10() -> Preset:
+    t = TransformConfig(frame_size=4096, hop_size=1024)
+    n_instruments = 4  # violin, clarinet, saxophone, bassoon
+    return Preset(
+        name="bach10",
+        sources=("violin", "clarinet", "saxophone", "bassoon"),
+        transform=t,
+        model=ConvSepConfig(
+            time_context=30,
+            feat_size=t.bins,
+            channels_in=1 + n_instruments,  # mixture + score-filtered channels
+            num_sources=n_instruments,
+            conv1_freq_stride=3,
+        ),
+        train=TrainConfig(alpha=0.001),
+        sep=SepConfig(),
+    )
+
+
+def _highres4096() -> Preset:
+    t = TransformConfig(frame_size=4096, hop_size=1024)
+    return Preset(
+        name="highres4096",
+        sources=("vocals", "bass", "drums", "other"),
+        transform=t,
+        model=ConvSepConfig(
+            time_context=30,
+            feat_size=t.bins,
+            channels_in=1,
+            num_sources=4,
+            conv1_freq_stride=4,
+        ),
+        train=TrainConfig(alpha=0.001, beta=0.01, beta_voc=0.03, vocals_idx=0, other_idx=3),
+        sep=SepConfig(),
+    )
+
+
+PRESETS = {
+    "ikala": _ikala,
+    "dsd100": _dsd100,
+    "bach10": _bach10,
+    "highres4096": _highres4096,
+}
+
+
+def get_preset(name: str) -> Preset:
+    try:
+        return PRESETS[name]()
+    except KeyError:
+        raise ValueError(f"unknown preset {name!r}; have {sorted(PRESETS)}") from None

@@ -1,0 +1,188 @@
+"""ConvSep: convolutional encoder-decoder separation network (flax).
+
+Re-design of the reference's `build_ca` network (examples/*/trainCNN.py [U],
+SURVEY.md §2.1 #5/#7/#10):
+
+    input (B, 1, T, F)
+      → vertical conv   (Conv2D, num_filters1, kernel (1, freq_extent), linear)
+      → horizontal conv (Conv2D, num_filters2, kernel (T//2, 1), linear)
+      → dense bottleneck (ReLU)
+      → per source: dense expansion (ReLU) → reshape
+                    → InverseLayer(conv2) → InverseLayer(conv1)
+      → concat sources → shared per-channel bias → ReLU
+
+Lasagne's ``InverseLayer`` computes the *gradient of the referenced conv
+w.r.t. its input* — a transposed convolution **tied to the same kernel**
+(no new parameters). Here that is ``lax.conv_transpose(transpose_kernel=
+True)``, verified against ``jax.vjp`` of the forward conv in
+tests/test_model.py.
+
+TPU-native choices:
+* NHWC layout (B, T, F, C) — TPU conv-friendly; the channel axis is last so
+  the F×C trailing dims map onto (sublane, lane) tiles.
+* All source branches are computed as one batched dense ([bottleneck] →
+  [S * flat]) and one grouped transposed conv by folding the source axis
+  into the batch axis — one MXU matmul / conv call instead of S small ones.
+* Parameters are declared in reference layer order with stable names so the
+  checkpoint converter (ckpt/convert_reference.py) maps pickled Lasagne
+  param lists by position.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from convsep_tpu.models.masks import wiener_filter
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvSepConfig:
+    """Architecture hyperparameters (reference: hard-coded in trainCNN.py [U]).
+
+    Defaults follow SURVEY.md §5.6 / the LVA/ICA 2017 description: 50
+    vertical filters spanning `conv1_freq` bins, 50 horizontal filters
+    spanning `time_context//2` frames, 128-unit bottleneck. All [M] —
+    converted reference checkpoints are the shape oracle.
+    """
+
+    time_context: int = 30
+    feat_size: int = 513
+    channels_in: int = 1
+    num_sources: int = 2
+    conv1_filters: int = 50
+    conv1_freq: int = 30
+    conv1_freq_stride: int = 1
+    conv2_filters: int = 50
+    conv2_time: int | None = None  # None → time_context // 2
+    bottleneck: int = 128
+    # How the decoder collapses the input-channel axis back to one magnitude
+    # plane when channels_in > 1 (score-informed runs). "first" keeps the
+    # mixture channel, "sum" sums all reconstructed channels.
+    decoder_reduce: str = "first"
+
+    @property
+    def conv2_time_eff(self) -> int:
+        return self.conv2_time if self.conv2_time is not None else self.time_context // 2
+
+    @property
+    def enc_time(self) -> int:
+        """Frames after the (VALID) horizontal conv."""
+        return self.time_context - self.conv2_time_eff + 1
+
+    @property
+    def enc_freq(self) -> int:
+        """Bins after the (VALID, strided) vertical conv."""
+        return (self.feat_size - self.conv1_freq) // self.conv1_freq_stride + 1
+
+    @property
+    def enc_flat(self) -> int:
+        return self.enc_time * self.enc_freq * self.conv2_filters
+
+
+def tied_conv_transpose(
+    y: jnp.ndarray,
+    kernel: jnp.ndarray,
+    strides: Sequence[int],
+    out_spatial: Sequence[int],
+) -> jnp.ndarray:
+    """Gradient-of-conv (Lasagne InverseLayer) with a tied kernel.
+
+    y: (B, H', W', O); kernel: HWIO as used by the forward VALID conv;
+    returns (B, *out_spatial, I). When the forward stride did not evenly
+    tile the input, the true vjp leaves an uncovered zero tail — replicated
+    here by zero-padding up to `out_spatial`.
+    """
+    out = jax.lax.conv_transpose(
+        y,
+        kernel,
+        strides=tuple(strides),
+        padding="VALID",
+        transpose_kernel=True,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    pads = [(0, 0)]
+    for got, want in zip(out.shape[1:-1], out_spatial):
+        if got > want:
+            raise ValueError(f"transpose output {out.shape} exceeds target {out_spatial}")
+        pads.append((0, want - got))
+    pads.append((0, 0))
+    if any(p != (0, 0) for p in pads):
+        out = jnp.pad(out, pads)
+    return out
+
+
+class ConvSep(nn.Module):
+    """Source-separation CNN; input (B, T, F, C) scaled magnitude, output
+    (B, T, F, S) nonnegative per-source magnitude estimates."""
+
+    config: ConvSepConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        B, T, F, C = x.shape
+        if (T, F, C) != (cfg.time_context, cfg.feat_size, cfg.channels_in):
+            raise ValueError(f"input {x.shape} does not match config {cfg}")
+
+        k1 = self.param(
+            "conv1_kernel",
+            nn.initializers.glorot_uniform(),
+            (1, cfg.conv1_freq, C, cfg.conv1_filters),
+        )
+        b1 = self.param("conv1_bias", nn.initializers.zeros, (cfg.conv1_filters,))
+        k2 = self.param(
+            "conv2_kernel",
+            nn.initializers.glorot_uniform(),
+            (cfg.conv2_time_eff, 1, cfg.conv1_filters, cfg.conv2_filters),
+        )
+        b2 = self.param("conv2_bias", nn.initializers.zeros, (cfg.conv2_filters,))
+
+        dn = ("NHWC", "HWIO", "NHWC")
+        s1 = (1, cfg.conv1_freq_stride)
+        # vertical (frequency) conv — linear, bias via separate BiasLayer in
+        # the reference
+        h1 = jax.lax.conv_general_dilated(x, k1, s1, "VALID", dimension_numbers=dn)
+        h1b = h1 + b1
+        # horizontal (time) conv — linear
+        h2 = jax.lax.conv_general_dilated(h1b, k2, (1, 1), "VALID", dimension_numbers=dn)
+        h2b = h2 + b2
+
+        flat = h2b.reshape(B, -1)  # (B, enc_flat) with (T', F', N2) row-major
+        fc = nn.Dense(cfg.bottleneck, name="fc")(flat)
+        fc = nn.relu(fc)
+
+        # per-source expansion, fused into one dense: (B, S*enc_flat)
+        S = cfg.num_sources
+        exp = nn.Dense(S * cfg.enc_flat, name="fc_expand")(fc)
+        exp = nn.relu(exp)
+        # fold sources into batch for the grouped transposed convs
+        z = exp.reshape(B * S, cfg.enc_time, cfg.enc_freq, cfg.conv2_filters)
+        d2 = tied_conv_transpose(z, k2, (1, 1), (cfg.time_context, cfg.enc_freq))
+        d1 = tied_conv_transpose(d2, k1, s1, (cfg.time_context, cfg.feat_size))
+        # (B*S, T, F, C) → collapse channels → (B, T, F, S)
+        if cfg.decoder_reduce == "first":
+            d = d1[..., 0]
+        elif cfg.decoder_reduce == "sum":
+            d = d1.sum(axis=-1)
+        else:
+            raise ValueError(f"unknown decoder_reduce {cfg.decoder_reduce!r}")
+        y = d.reshape(B, S, cfg.time_context, cfg.feat_size).transpose(0, 2, 3, 1)
+
+        out_bias = self.param("out_bias", nn.initializers.zeros, (S,))
+        return nn.relu(y + out_bias)
+
+    def separate(
+        self, x: jnp.ndarray, mix: jnp.ndarray, p: float = 1.0, eps: float = 1e-8
+    ) -> jnp.ndarray:
+        """Masked mixture estimates (B, T, F, S): forward + Wiener filter.
+
+        `x` is the (scaled) network input; `mix` the mixture spectrogram the
+        mask is applied to (magnitude during training, complex at
+        separation — reference keeps mixture phase).
+        """
+        return wiener_filter(self(x), mix, p=p, eps=eps)

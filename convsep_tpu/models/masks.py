@@ -1,0 +1,44 @@
+"""Generalized Wiener time-frequency soft masks.
+
+Reference parity: the mask construction in the reference's training graph
+and `separate_dsd.py` [U] (SURVEY.md §2.1 #6/#8) —
+``mask_i = y_i^p / (sum_j y_j^p + eps)`` applied to the mixture
+spectrogram, with mixture phase reused at resynthesis. With ``p=1`` this is
+the soft mask used in the training loss; ``p=2`` is the classic Wiener
+filter.
+
+TPU-native: pure elementwise math over a trailing sources axis — XLA fuses
+it into the surrounding CNN-output / iSTFT programs (SURVEY.md §2.2 #3), so
+no materialization of per-source masks in HBM is needed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def wiener_mask(y: jnp.ndarray, p: float = 1.0, eps: float = 1e-8) -> jnp.ndarray:
+    """Per-source soft mask from nonnegative source estimates.
+
+    y: (..., S) nonnegative magnitudes (model outputs). Returns masks of the
+    same shape; along the sources axis the masks sum to
+    ``sum_j y_j^p / (sum_j y_j^p + eps) <= 1``.
+    """
+    yp = jnp.where(y > 0, y, 0.0)
+    if p != 1.0:
+        yp = jnp.power(yp, p)
+    denom = jnp.sum(yp, axis=-1, keepdims=True) + eps
+    return yp / denom
+
+
+def wiener_filter(
+    y: jnp.ndarray, mix: jnp.ndarray, p: float = 1.0, eps: float = 1e-8
+) -> jnp.ndarray:
+    """Masked mixture estimates: ``mask_i * mix``.
+
+    y: (..., S) nonneg estimates; mix: (...) mixture (real magnitude or
+    complex spectrogram — a real mask times the complex mixture is exactly
+    the reference's "masked magnitude + mixture phase" resynthesis).
+    Returns (..., S) with mix broadcast over the sources axis.
+    """
+    return wiener_mask(y, p=p, eps=eps) * mix[..., None]

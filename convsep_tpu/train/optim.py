@@ -1,0 +1,73 @@
+"""Optimizers.
+
+Reference parity: `lasagne.updates.adadelta(loss, params, learning_rate=1.0,
+rho=0.95, epsilon=1e-6)` [U] (SURVEY.md §2.1 #6, §7 hard-part #5):
+
+    accu      <- rho * accu + (1 - rho) * g^2
+    update    <- g * sqrt(delta_accu + eps) / sqrt(accu + eps)
+    param     <- param - lr * update
+    delta_accu<- rho * delta_accu + (1 - rho) * update^2
+
+Implemented as a first-class optax GradientTransformation (state is a
+pytree like any optax optimizer, so orbax checkpoints and pjit sharding
+apply unchanged), and unit-tested against a numpy oracle and
+`optax.adadelta` (tests/test_optim.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class AdadeltaState(NamedTuple):
+    accu: optax.Updates
+    delta_accu: optax.Updates
+
+
+def lasagne_adadelta(
+    learning_rate: float = 1.0, rho: float = 0.95, eps: float = 1e-6
+) -> optax.GradientTransformation:
+    """Adadelta with the reference's (Lasagne) formulation and defaults."""
+
+    def init_fn(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return AdadeltaState(accu=zeros, delta_accu=jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(grads, state, params=None):
+        del params
+        accu = jax.tree.map(lambda a, g: rho * a + (1 - rho) * g * g, state.accu, grads)
+        updates = jax.tree.map(
+            lambda g, d, a: g * jnp.sqrt(d + eps) / jnp.sqrt(a + eps),
+            grads,
+            state.delta_accu,
+            accu,
+        )
+        delta_accu = jax.tree.map(
+            lambda d, u: rho * d + (1 - rho) * u * u, state.delta_accu, updates
+        )
+        scaled = jax.tree.map(lambda u: -learning_rate * u, updates)
+        return scaled, AdadeltaState(accu=accu, delta_accu=delta_accu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+_REGISTRY = {
+    "adadelta": lasagne_adadelta,
+    "adam": optax.adam,
+    "adamw": optax.adamw,
+    "sgd": optax.sgd,
+    "rmsprop": optax.rmsprop,
+}
+
+
+def make_optimizer(name: str = "adadelta", **kwargs) -> optax.GradientTransformation:
+    """Named optimizer factory; 'adadelta' is the reference-parity default."""
+    try:
+        factory = _REGISTRY[name]
+    except KeyError:
+        raise ValueError(f"unknown optimizer {name!r}; have {sorted(_REGISTRY)}") from None
+    return factory(**kwargs)

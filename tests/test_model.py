@@ -1,0 +1,97 @@
+"""ConvSep model unit tests (SURVEY.md §4 'Unit: model').
+
+The tied transposed conv must equal the vjp of the forward conv — that IS
+the definition of Lasagne's InverseLayer, so this test pins reference
+semantics without needing the reference.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from convsep_tpu.models import ConvSep, ConvSepConfig
+from convsep_tpu.models.convsep import tied_conv_transpose
+
+CFG = ConvSepConfig(
+    time_context=30, feat_size=513, channels_in=1, num_sources=2,
+    conv1_filters=8, conv2_filters=8, bottleneck=32,
+)
+
+
+def _init(cfg=CFG, batch=3):
+    model = ConvSep(cfg)
+    x = jnp.zeros((batch, cfg.time_context, cfg.feat_size, cfg.channels_in))
+    params = model.init(jax.random.PRNGKey(0), x)
+    return model, params
+
+
+def test_tied_conv_transpose_is_vjp_of_conv(rng):
+    dn = ("NHWC", "HWIO", "NHWC")
+    for (h, w, i, o), strides, in_spatial in [
+        ((1, 30, 1, 8), (1, 3), (30, 513)),   # strided vertical conv
+        ((15, 1, 8, 8), (1, 1), (30, 162)),   # horizontal conv
+        ((1, 30, 1, 8), (1, 4), (30, 513)),   # stride not tiling evenly
+    ]:
+        k = rng.standard_normal((h, w, i, o)).astype(np.float32)
+        x0 = jnp.zeros((2, *in_spatial, i))
+        fwd = lambda v: jax.lax.conv_general_dilated(  # noqa: E731
+            v, k, strides, "VALID", dimension_numbers=dn
+        )
+        y = rng.standard_normal(jax.eval_shape(fwd, x0).shape).astype(np.float32)
+        want = jax.vjp(fwd, x0)[1](jnp.asarray(y))[0]
+        got = tied_conv_transpose(jnp.asarray(y), jnp.asarray(k), strides, in_spatial)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_forward_shape_and_nonnegativity(rng):
+    model, params = _init()
+    x = jnp.asarray(np.abs(rng.standard_normal((3, 30, 513, 1))).astype(np.float32))
+    y = model.apply(params, x)
+    assert y.shape == (3, 30, 513, 2)
+    assert (np.asarray(y) >= 0).all()
+
+
+def test_forward_deterministic_under_jit(rng):
+    model, params = _init()
+    x = jnp.asarray(rng.standard_normal((3, 30, 513, 1)).astype(np.float32))
+    f = jax.jit(model.apply)
+    a = np.asarray(f(params, x))
+    b = np.asarray(f(params, x))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(np.asarray(model.apply(params, x)), a, atol=1e-5)
+
+
+def test_param_shapes_match_reference_contract():
+    """Weight-shape contract (de-facto architecture parity test, SURVEY §4)."""
+    cfg = ConvSepConfig()
+    _, params = _init(cfg, batch=1)
+    p = params["params"]
+    assert p["conv1_kernel"].shape == (1, 30, 1, 50)
+    assert p["conv2_kernel"].shape == (15, 1, 50, 50)
+    assert p["fc"]["kernel"].shape == (cfg.enc_flat, 128)
+    assert p["fc_expand"]["kernel"].shape == (128, 2 * cfg.enc_flat)
+    assert p["out_bias"].shape == (2,)
+    # encoder geometry
+    assert cfg.enc_time == 16 and cfg.enc_freq == 484
+
+
+def test_separate_applies_mask(rng):
+    model, params = _init()
+    x = jnp.asarray(np.abs(rng.standard_normal((2, 30, 513, 1))).astype(np.float32))
+    mix = x[..., 0]
+    est = model.apply(params, x, mix, method=ConvSep.separate)
+    est = np.asarray(est)
+    assert est.shape == (2, 30, 513, 2)
+    # masked estimates sum to at most the mixture
+    assert (est.sum(-1) <= np.asarray(mix) + 1e-4).all()
+
+
+def test_multichannel_score_informed_input(rng):
+    cfg = ConvSepConfig(
+        channels_in=5, num_sources=4, conv1_filters=4, conv2_filters=4, bottleneck=16
+    )
+    model = ConvSep(cfg)
+    x = jnp.asarray(np.abs(rng.standard_normal((2, 30, 513, 5))).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(1), x)
+    y = model.apply(params, x)
+    assert y.shape == (2, 30, 513, 4)
