@@ -1,0 +1,204 @@
+"""Command-line interface: compute-features | train | separate | evaluate | bench.
+
+Replaces the reference's per-dataset example scripts (SURVEY.md §2.1
+#5–#9) with one preset-driven CLI:
+
+    convsep compute-features --preset dsd100 --audio-dir DSD100/Dev --out feats/
+    convsep train            --preset dsd100 --features feats/ --workdir runs/d1
+    convsep separate         --preset dsd100 --params runs/d1/checkpoints -i mix.wav -o stems/
+    convsep separate         --preset ikala  --params model.pkl -i mix.wav -o stems/   # reference ckpt
+    convsep evaluate         --ref-dir true_stems/ --est-dir stems/
+    convsep bench            --preset dsd100 --seconds 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _cmd_compute_features(args) -> int:
+    from convsep_tpu.configs import get_preset
+    from convsep_tpu.data.features import compute_features
+
+    preset = get_preset(args.preset)
+    tracks = compute_features(
+        args.audio_dir, args.out, preset, score_informed=args.score_informed
+    )
+    print(f"computed features for {len(tracks)} tracks -> {args.out}")
+    return 0
+
+
+def _cmd_train(args) -> int:
+    import dataclasses
+
+    from convsep_tpu.configs import get_preset
+    from convsep_tpu.data.pipeline import SegmentDataset
+    from convsep_tpu.train.loop import Trainer
+
+    preset = get_preset(args.preset)
+    if args.epochs:
+        preset = dataclasses.replace(
+            preset, train=dataclasses.replace(preset.train, num_epochs=args.epochs)
+        )
+    extra = tuple(f"score_{s}" for s in preset.sources) if args.score_informed else ()
+    ds = SegmentDataset(
+        args.features,
+        preset.sources,
+        time_context=preset.train.time_context,
+        overlap=preset.train.overlap,
+        mult_factor_in=preset.train.mult_factor_in,
+        mult_factor_out=preset.train.mult_factor_out,
+        extra_channels=extra,
+    )
+    mesh = None
+    if args.mesh_data > 1:
+        from convsep_tpu.distributed import make_mesh
+
+        mesh = make_mesh(data=args.mesh_data)
+    trainer = Trainer(preset, workdir=args.workdir, mesh=mesh)
+    if args.resume:
+        step = trainer.restore()
+        print(f"resumed from step {step}")
+    losses = trainer.fit(ds)
+    print(f"done; epoch losses: {[round(l, 6) for l in losses]}")
+    return 0
+
+
+def _load_params(path: str, preset):
+    """Load model params from an orbax checkpoint dir or a reference pickle."""
+    if path.endswith((".pkl", ".pickle", ".param")):
+        from convsep_tpu.ckpt.convert_reference import convert_reference_checkpoint
+
+        return convert_reference_checkpoint(path, preset.model)
+    from convsep_tpu.ckpt.orbax_io import CheckpointManager
+    from convsep_tpu.train.loop import create_train_state
+
+    state, _ = create_train_state(preset, 0)
+    mgr = CheckpointManager(path)
+    restored = mgr.restore_latest(state)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint under {path}")
+    return restored.params
+
+
+def _cmd_separate(args) -> int:
+    import numpy as np
+
+    from convsep_tpu.configs import get_preset
+    from convsep_tpu.data.io import read_wav, write_wav
+    from convsep_tpu.separate import Separator
+
+    preset = get_preset(args.preset)
+    params = _load_params(args.params, preset)
+    fs, audio = read_wav(args.input)
+    if fs != preset.transform.fs:
+        raise ValueError(f"{args.input}: fs {fs} != preset fs {preset.transform.fs}")
+    if audio.ndim == 2:
+        audio = audio.mean(axis=1)
+    extra = None
+    if args.score:
+        from convsep_tpu.dsp.transform import TransformFFT
+        from convsep_tpu.score import parse_note_annotations, score_filtered_channels
+
+        mag = TransformFFT(preset.transform).compute_file(np.asarray(audio))
+        notes = [
+            parse_note_annotations(os.path.join(args.score, f"{s}.notes.txt"))
+            for s in preset.sources
+        ]
+        extra = score_filtered_channels(
+            mag, notes, fs=preset.transform.fs, hop=preset.transform.hop_size
+        ) * preset.train.mult_factor_in
+    sep = Separator(preset, params)
+    stems = sep(audio, extra=extra)
+    os.makedirs(args.out, exist_ok=True)
+    for name, stem in zip(preset.sources, stems):
+        write_wav(os.path.join(args.out, f"{name}.wav"), fs, stem)
+    print(f"wrote {len(stems)} stems -> {args.out}")
+    return 0
+
+
+def _cmd_evaluate(args) -> int:
+    import numpy as np
+
+    from convsep_tpu.data.io import read_wav
+    from convsep_tpu.eval import bss_eval_sources
+
+    names = sorted(
+        f[:-4] for f in os.listdir(args.ref_dir) if f.endswith(".wav")
+    )
+    refs, ests = [], []
+    for n in names:
+        _, r = read_wav(os.path.join(args.ref_dir, n + ".wav"))
+        _, e = read_wav(os.path.join(args.est_dir, n + ".wav"))
+        L = min(len(r), len(e))
+        refs.append(r[:L] if r.ndim == 1 else r[:L].mean(1))
+        ests.append(e[:L] if e.ndim == 1 else e[:L].mean(1))
+    L = min(len(r) for r in refs)
+    sdr, sir, sar, _ = bss_eval_sources(
+        np.stack([r[:L] for r in refs]), np.stack([e[:L] for e in ests]), flen=args.flen
+    )
+    out = {
+        n: {"SDR": round(float(a), 3), "SIR": round(float(b), 3), "SAR": round(float(c), 3)}
+        for n, a, b, c in zip(names, sdr, sir, sar)
+    }
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    from convsep_tpu.benchmark import run_benchmark
+
+    print(json.dumps(run_benchmark(args.preset, seconds=args.seconds, runs=args.runs)))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="convsep", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    cf = sub.add_parser("compute-features", help="dataset audio -> feature files")
+    cf.add_argument("--preset", required=True)
+    cf.add_argument("--audio-dir", required=True)
+    cf.add_argument("--out", required=True)
+    cf.add_argument("--score-informed", action="store_true")
+    cf.set_defaults(fn=_cmd_compute_features)
+
+    tr = sub.add_parser("train", help="train a separation model")
+    tr.add_argument("--preset", required=True)
+    tr.add_argument("--features", required=True)
+    tr.add_argument("--workdir", required=True)
+    tr.add_argument("--epochs", type=int, default=None)
+    tr.add_argument("--resume", action="store_true")
+    tr.add_argument("--score-informed", action="store_true")
+    tr.add_argument("--mesh-data", type=int, default=1, help="data-parallel mesh size")
+    tr.set_defaults(fn=_cmd_train)
+
+    se = sub.add_parser("separate", help="separate a mixture wav into stems")
+    se.add_argument("--preset", required=True)
+    se.add_argument("--params", required=True, help="orbax ckpt dir or reference .pkl")
+    se.add_argument("-i", "--input", required=True)
+    se.add_argument("-o", "--out", required=True)
+    se.add_argument("--score", default=None, help="dir with <source>.notes.txt for score-informed runs")
+    se.set_defaults(fn=_cmd_separate)
+
+    ev = sub.add_parser("evaluate", help="BSS Eval SDR/SIR/SAR of estimated stems")
+    ev.add_argument("--ref-dir", required=True)
+    ev.add_argument("--est-dir", required=True)
+    ev.add_argument("--flen", type=int, default=512)
+    ev.set_defaults(fn=_cmd_evaluate)
+
+    be = sub.add_parser("bench", help="RTF benchmark (one JSON line)")
+    be.add_argument("--preset", default="dsd100")
+    be.add_argument("--seconds", type=float, default=30.0)
+    be.add_argument("--runs", type=int, default=5)
+    be.set_defaults(fn=_cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

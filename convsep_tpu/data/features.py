@@ -1,0 +1,88 @@
+"""Offline feature computation: dataset audio → feature files.
+
+Reference parity: examples/*/compute_features*.py (SURVEY.md §2.1 #9,
+§3.1) — walk a dataset directory, read stems, build the mixture (sum of
+stems when no mixture file exists), STFT each signal, write `.data`
+feature files per track/stem.
+
+Directory convention (generic across iKala/DSD100-style layouts):
+``<audio_dir>/<track>/<stem>.wav`` with stems named by the preset's
+sources plus optional ``mixture.wav``. Stereo is averaged to mono.
+Score-informed runs additionally read ``<track>/<source>.notes.txt``
+annotations and write score-filtered channels.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from convsep_tpu.configs.presets import Preset
+from convsep_tpu.data.io import read_wav, save_tensor
+from convsep_tpu.dsp.transform import TransformFFT
+from convsep_tpu.score.masks import parse_note_annotations, score_filtered_channels
+
+
+def _mono(audio: np.ndarray) -> np.ndarray:
+    return audio.mean(axis=1) if audio.ndim == 2 else audio
+
+
+def compute_features(
+    audio_dir: str,
+    out_dir: str,
+    preset: Preset,
+    score_informed: bool = False,
+) -> list[str]:
+    """Compute feature files for every track directory; returns track names."""
+    t = TransformFFT(preset.transform)
+    os.makedirs(out_dir, exist_ok=True)
+    tracks = sorted(
+        d for d in os.listdir(audio_dir) if os.path.isdir(os.path.join(audio_dir, d))
+    )
+    if not tracks:
+        raise FileNotFoundError(f"no track directories under {audio_dir}")
+    done = []
+    for track in tracks:
+        tdir = os.path.join(audio_dir, track)
+        stems = {}
+        for s in preset.sources:
+            p = os.path.join(tdir, f"{s}.wav")
+            if not os.path.exists(p):
+                raise FileNotFoundError(f"missing stem {p}")
+            fs, audio = read_wav(p)
+            if fs != preset.transform.fs:
+                raise ValueError(
+                    f"{p}: sample rate {fs} != preset {preset.transform.fs}"
+                )
+            stems[s] = _mono(audio)
+        n = min(len(a) for a in stems.values())
+        stems = {s: a[:n] for s, a in stems.items()}
+        mix_path = os.path.join(tdir, "mixture.wav")
+        if os.path.exists(mix_path):
+            _, mix = read_wav(mix_path)
+            mix = _mono(mix)[:n]
+        else:  # reference behavior: mixture = sum of stems
+            mix = np.sum(list(stems.values()), axis=0)
+
+        mix_mag = t.compute_file(mix)
+        save_tensor(mix_mag, os.path.join(out_dir, f"{track}.mix.data"))
+        for s, audio in stems.items():
+            save_tensor(t.compute_file(audio), os.path.join(out_dir, f"{track}.{s}.data"))
+
+        if score_informed:
+            per_source = []
+            for s in preset.sources:
+                ann = os.path.join(tdir, f"{s}.notes.txt")
+                if not os.path.exists(ann):
+                    raise FileNotFoundError(f"score-informed run missing {ann}")
+                per_source.append(parse_note_annotations(ann))
+            chans = score_filtered_channels(
+                mix_mag, per_source, fs=preset.transform.fs, hop=preset.transform.hop_size
+            )
+            for i, s in enumerate(preset.sources):
+                save_tensor(
+                    chans[..., i], os.path.join(out_dir, f"{track}.score_{s}.data")
+                )
+        done.append(track)
+    return done

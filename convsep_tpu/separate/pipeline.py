@@ -1,0 +1,128 @@
+"""Fused whole-track separation: one XLA program, HBM-resident end to end.
+
+Reference behavior being replaced (separate_dsd.py [U], SURVEY.md §3.3):
+CPU STFT of the whole track, a host Python loop running the compiled
+predict function per time_context segment, host numpy Wiener mask, CPU
+iSTFT. Every segment crossed host↔device.
+
+TPU-native design (BASELINE.json north star): the entire chain
+
+    stft → |·| → scale → segment (reshape) → CNN over all segments as one
+    batch → unsegment → generalized Wiener mask × complex mixture → istft
+
+is a single jitted program per (bucketed) track length. Segments become a
+batch axis (`(num_segments, T, F)` — SURVEY.md §5.7), so the CNN runs as
+one large MXU-friendly batch; the mask multiplies the complex mixture
+spectrogram directly (real mask × complex spec ≡ masked magnitude with
+mixture phase); nothing round-trips to the host until the final float32
+stems. Track lengths are padded to buckets so the number of compiled
+shapes stays bounded (SURVEY.md §7 hard-part #3).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from convsep_tpu.configs.presets import Preset
+from convsep_tpu.data.segment import segment_frames, unsegment_frames
+from convsep_tpu.dsp import istft, num_frames, scale_magnitude, stft, hann
+from convsep_tpu.dsp.windows import sinebell as _sinebell
+from convsep_tpu.models.convsep import ConvSep
+from convsep_tpu.models.masks import wiener_mask
+
+
+def _window(preset: Preset) -> np.ndarray:
+    if preset.transform.window == "sinebell":
+        return _sinebell(preset.transform.frame_size)
+    if preset.transform.window == "hann":
+        return hann(preset.transform.frame_size)
+    raise ValueError(f"unknown window {preset.transform.window!r}")
+
+
+def bucket_length(length: int, preset: Preset) -> int:
+    """Pad a sample count so compiled separation shapes are bucketed.
+
+    Rounds up to a multiple of hop * time_context * segment_bucket, so the
+    padded track yields a whole number of `segment_bucket` segment groups.
+    """
+    unit = (
+        preset.transform.hop_size
+        * preset.model.time_context
+        * preset.sep.segment_bucket
+    )
+    return max(unit, int(math.ceil(length / unit)) * unit)
+
+
+@partial(jax.jit, static_argnames=("preset", "length", "apply_fn"))
+def separate_fused(
+    params,
+    audio: jnp.ndarray,
+    extra: jnp.ndarray | None,
+    preset: Preset,
+    length: int,
+    apply_fn=None,
+) -> jnp.ndarray:
+    """audio (length,) → stems (num_sources, length), one XLA program.
+
+    `extra`: optional (n_frames, F, C-1) score-informed channels aligned
+    with the mixture frames (already scaled like the mixture input).
+    `apply_fn`: model apply override (defaults to ConvSep(preset.model)).
+    """
+    t, m, tr = preset.transform, preset.model, preset.train
+    win = _window(preset)
+    spec = stft(audio, win, t.hop_size, t.nfft)  # (nf, bins) complex
+    nf = spec.shape[0]
+    mag = scale_magnitude(jnp.abs(spec), t.iscale) * tr.mult_factor_in
+
+    segs = segment_frames(mag, m.time_context)  # (nseg, T, F)
+    if extra is not None:
+        ex = segment_frames(extra.transpose(2, 0, 1), m.time_context)  # (C-1, nseg, T, F)
+        x = jnp.concatenate([segs[..., None], ex.transpose(1, 2, 3, 0)], axis=-1)
+    else:
+        x = segs[..., None]
+
+    if apply_fn is None:
+        apply_fn = ConvSep(m).apply
+    y = apply_fn(params, x)  # (nseg, T, F, S) nonneg
+    y_frames = unsegment_frames(y.transpose(3, 0, 1, 2), nf)  # (S, nf, F)
+    mask = wiener_mask(
+        y_frames.transpose(1, 2, 0), p=preset.sep.wiener_p, eps=preset.sep.wiener_eps
+    )  # (nf, F, S)
+    est_spec = mask.transpose(2, 0, 1) * spec[None]  # (S, nf, bins) complex
+    return istft(est_spec, win, t.hop_size, length, nfft=t.nfft)
+
+
+class Separator:
+    """Whole-track separator with per-bucket compile caching.
+
+    >>> sep = Separator(preset, params)
+    >>> stems = sep(audio)           # (num_sources, len(audio)) float32
+    """
+
+    def __init__(self, preset: Preset, params, apply_fn=None):
+        self.preset = preset
+        self.params = params
+        self.apply_fn = apply_fn
+
+    def __call__(self, audio: np.ndarray, extra: np.ndarray | None = None) -> np.ndarray:
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim != 1:
+            raise ValueError(f"expected mono (length,) audio, got {audio.shape}")
+        L = len(audio)
+        Lb = bucket_length(L, self.preset)
+        padded = np.pad(audio, (0, Lb - L))
+        if extra is not None:
+            nf = num_frames(Lb, self.preset.transform.hop_size)
+            extra = np.asarray(extra, np.float32)
+            if extra.shape[0] < nf:
+                extra = np.pad(extra, ((0, nf - extra.shape[0]), (0, 0), (0, 0)))
+            extra = jnp.asarray(extra[:nf])
+        stems = separate_fused(
+            self.params, jnp.asarray(padded), extra, self.preset, Lb, self.apply_fn
+        )
+        return np.asarray(stems)[:, :L]

@@ -1,0 +1,199 @@
+"""Training engine: jitted masked-estimate loss step + epoch loop.
+
+Reference parity: `train_auto` (examples/*/trainCNN.py [U], SURVEY.md §3.2)
+— epoch loop over LargeDataset batches, squared-error-plus-interference
+loss on Wiener-masked estimates, adadelta updates, checkpoint each epoch,
+resume from the last checkpoint.
+
+TPU-native design: the train step is ONE donated-buffer jitted program
+(forward → mask → loss → grad → adadelta update); batches stream through
+the async prefetcher with at most one host→device transfer in flight per
+step; with a mesh, batches are sharded over the `data` axis and params
+replicated — XLA inserts the grad `psum` (SURVEY.md §3.5). Checkpoints are
+orbax with atomic commit + resume (SURVEY.md §5.3/§5.4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from convsep_tpu.configs.presets import Preset
+from convsep_tpu.data.pipeline import SegmentDataset, prefetch_to_device
+from convsep_tpu.distributed.mesh import batch_sharding, replicated
+from convsep_tpu.models.convsep import ConvSep
+from convsep_tpu.models.masks import wiener_filter
+from convsep_tpu.train.losses import interference_matrix, separation_loss
+from convsep_tpu.train.optim import make_optimizer
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    """Minimal functional train state (a pytree; orbax-serializable)."""
+
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def create_train_state(preset: Preset, rng: jax.Array | int = 0) -> tuple[TrainState, optax.GradientTransformation]:
+    if isinstance(rng, int):
+        rng = jax.random.PRNGKey(rng)
+    cfg = preset.model
+    model = ConvSep(cfg)
+    x0 = jnp.zeros((1, cfg.time_context, cfg.feat_size, cfg.channels_in))
+    params = model.init(rng, x0)
+    opt = make_optimizer(
+        preset.train.optimizer,
+        learning_rate=preset.train.learning_rate,
+    )
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt.init(params)), opt
+
+
+def make_train_step(
+    preset: Preset, opt: optax.GradientTransformation
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, jnp.ndarray]]:
+    """Build the jitted train step: (state, x (B,T,F,C), y (B,T,F,S)) →
+    (state, loss). State buffers are donated (updated in place in HBM)."""
+    cfg = preset.model
+    tr = preset.train
+    model = ConvSep(cfg)
+    interf = interference_matrix(
+        cfg.num_sources,
+        alpha=tr.alpha,
+        beta=tr.beta,
+        beta_voc=tr.beta_voc,
+        vocals_idx=tr.vocals_idx,
+        other_idx=tr.other_idx,
+    )
+
+    def loss_fn(params, x, y):
+        out = model.apply(params, x)  # (B,T,F,S) nonneg
+        est = wiener_filter(out, x[..., 0], p=1.0, eps=preset.sep.wiener_eps)
+        return separation_loss(est, y, interf)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, x, y)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params, opt_state=opt_state), loss
+
+    return train_step
+
+
+class MetricsLogger:
+    """Structured per-step metrics → JSONL + stdout (SURVEY.md §5.5)."""
+
+    def __init__(self, path: str | None = None, print_every: int = 50):
+        self.path = path
+        self.print_every = print_every
+        self._f = open(path, "a") if path else None
+
+    def log(self, **kv):
+        if self._f:
+            self._f.write(json.dumps(kv) + "\n")
+            self._f.flush()
+        step = kv.get("step", 0)
+        if step % self.print_every == 0:
+            print("  " + " ".join(f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}" for k, v in kv.items()))
+
+    def close(self):
+        if self._f:
+            self._f.close()
+
+
+class Trainer:
+    """Epoch loop with async prefetch, orbax checkpointing, and resume."""
+
+    def __init__(
+        self,
+        preset: Preset,
+        workdir: str | None = None,
+        mesh=None,
+        seed: int | None = None,
+    ):
+        self.preset = preset
+        self.workdir = workdir
+        self.mesh = mesh
+        seed = preset.train.seed if seed is None else seed
+        self.state, self.opt = create_train_state(preset, seed)
+        self.train_step = make_train_step(preset, self.opt)
+        self.batch_sharding = None
+        if mesh is not None:
+            self.batch_sharding = batch_sharding(mesh, 4)
+            self.state = jax.device_put(self.state, replicated(mesh))
+        self._ckpt = None
+        if workdir:
+            os.makedirs(workdir, exist_ok=True)
+            from convsep_tpu.ckpt.orbax_io import CheckpointManager
+
+            self._ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
+
+    def restore(self) -> int:
+        """Resume from the latest checkpoint if present; returns the step."""
+        if self._ckpt is not None:
+            state = self._ckpt.restore_latest(self.state)
+            if state is not None:
+                self.state = state
+        return int(self.state.step)
+
+    def fit(
+        self,
+        dataset: SegmentDataset,
+        num_epochs: int | None = None,
+        metrics_path: str | None = None,
+    ) -> list[float]:
+        """Run the epoch loop; returns per-epoch mean losses."""
+        tr = self.preset.train
+        num_epochs = tr.num_epochs if num_epochs is None else num_epochs
+        if metrics_path is None and self.workdir:
+            metrics_path = os.path.join(self.workdir, "metrics.jsonl")
+        logger = MetricsLogger(metrics_path)
+        epoch_losses = []
+        step = int(self.state.step)
+        try:
+            for epoch in range(num_epochs):
+                t0 = time.perf_counter()
+                losses = []
+                batches = dataset.batches(tr.batch_size, shuffle=True, seed=tr.seed + epoch)
+                for x, y in prefetch_to_device(batches, sharding=self.batch_sharding):
+                    self.state, loss = self.train_step(self.state, x, y)
+                    step += 1
+                    losses.append(loss)
+                    if (
+                        self._ckpt is not None
+                        and step % tr.checkpoint_every_steps == 0
+                    ):
+                        self._ckpt.save(step, self.state)
+                    if len(losses) >= 2:  # keep one step in flight, log lagged
+                        logger.log(
+                            step=step - 1,
+                            epoch=epoch,
+                            loss=float(losses[-2]),
+                        )
+                mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+                epoch_losses.append(mean_loss)
+                logger.log(
+                    step=step,
+                    epoch=epoch,
+                    epoch_loss=mean_loss,
+                    epoch_seconds=time.perf_counter() - t0,
+                )
+                if self._ckpt is not None:
+                    self._ckpt.save(step, self.state)
+        finally:
+            if self._ckpt is not None:
+                self._ckpt.wait()
+            logger.close()
+        return epoch_losses

@@ -1,0 +1,129 @@
+"""Full CLI user journey on the CPU mesh with an injected tiny preset.
+
+compute-features → train → separate (orbax ckpt AND reference pickle) →
+evaluate → bench all through `convsep_tpu.cli.main` — the reference's five
+example-script workflows (SURVEY.md §3.1–3.3) as one tested path.
+"""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+
+from convsep_tpu import cli
+from convsep_tpu.configs import presets as presets_mod
+from convsep_tpu.configs.presets import TransformConfig
+from convsep_tpu.data import sine_mixture, write_wav
+
+FS = 8000
+
+
+def _tiny_ikala():
+    p = presets_mod.PRESETS["ikala"]()
+    t = TransformConfig(fs=FS, frame_size=256, hop_size=128)
+    return dataclasses.replace(
+        p,
+        name="tinyikala",
+        transform=t,
+        model=dataclasses.replace(
+            p.model,
+            time_context=10,
+            feat_size=t.bins,
+            conv1_filters=4,
+            conv1_freq=8,
+            conv2_filters=4,
+            bottleneck=16,
+        ),
+        train=dataclasses.replace(
+            p.train, batch_size=4, num_epochs=1, time_context=10, overlap=5
+        ),
+        sep=dataclasses.replace(p.sep, segment_bucket=2),
+    )
+
+
+@pytest.fixture(autouse=True)
+def tiny_preset(monkeypatch):
+    monkeypatch.setitem(presets_mod.PRESETS, "tinyikala", _tiny_ikala)
+
+
+@pytest.fixture(scope="module")
+def audio_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("audio")
+    for i in range(2):
+        d = root / f"track{i}"
+        d.mkdir()
+        stems, mix = sine_mixture(2, 2 * FS, fs=FS, freqs=(220.0, 1400.0), seed=i)
+        write_wav(d / "vocals.wav", FS, stems[0])
+        write_wav(d / "accompaniment.wav", FS, stems[1])
+        write_wav(d / "mixture.wav", FS, mix)
+    return str(root)
+
+
+def test_full_cli_journey(audio_dir, tmp_path, capsys):
+    feats = str(tmp_path / "feats")
+    assert cli.main(["compute-features", "--preset", "tinyikala", "--audio-dir", audio_dir, "--out", feats]) == 0
+    assert os.path.exists(os.path.join(feats, "track0.mix.data"))
+
+    wd = str(tmp_path / "run")
+    assert cli.main(["train", "--preset", "tinyikala", "--features", feats, "--workdir", wd]) == 0
+    assert os.path.isdir(os.path.join(wd, "checkpoints"))
+    assert os.path.exists(os.path.join(wd, "metrics.jsonl"))
+
+    est = str(tmp_path / "est")
+    mix_wav = os.path.join(audio_dir, "track0", "mixture.wav")
+    assert cli.main([
+        "separate", "--preset", "tinyikala", "--params", os.path.join(wd, "checkpoints"),
+        "-i", mix_wav, "-o", est,
+    ]) == 0
+    assert sorted(os.listdir(est)) == ["accompaniment.wav", "vocals.wav"]
+
+    ref = str(tmp_path / "ref")
+    os.makedirs(ref)
+    for s in ("vocals", "accompaniment"):
+        import shutil
+
+        shutil.copy(os.path.join(audio_dir, "track0", f"{s}.wav"), ref)
+    capsys.readouterr()
+    assert cli.main(["evaluate", "--ref-dir", ref, "--est-dir", est, "--flen", "16"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert set(out) == {"vocals", "accompaniment"}
+    assert all(np.isfinite(list(v.values())).all() for v in out.values())
+
+
+def test_separate_from_reference_pickle(audio_dir, tmp_path):
+    """The reference-checkpoint path: .pkl → converter → separation."""
+    import pickle
+
+    from tests.test_convert import _random_reference_values
+
+    preset = _tiny_ikala()
+    rng = np.random.default_rng(0)
+    vals = _random_reference_values(preset.model, rng)
+    pkl = str(tmp_path / "model.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(vals, f, protocol=2)
+    est = str(tmp_path / "est")
+    assert cli.main([
+        "separate", "--preset", "tinyikala", "--params", pkl,
+        "-i", os.path.join(audio_dir, "track0", "mixture.wav"), "-o", est,
+    ]) == 0
+    assert len(os.listdir(est)) == 2
+
+
+def test_bench_prints_one_json_line(capsys):
+    assert cli.main(["bench", "--preset", "tinyikala", "--seconds", "1", "--runs", "2"]) == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
+    assert rec["value"] > 0
+
+
+def test_train_resume_flag(audio_dir, tmp_path):
+    feats = str(tmp_path / "feats")
+    cli.main(["compute-features", "--preset", "tinyikala", "--audio-dir", audio_dir, "--out", feats])
+    wd = str(tmp_path / "run")
+    assert cli.main(["train", "--preset", "tinyikala", "--features", feats, "--workdir", wd, "--epochs", "1"]) == 0
+    assert cli.main(["train", "--preset", "tinyikala", "--features", feats, "--workdir", wd, "--epochs", "1", "--resume"]) == 0

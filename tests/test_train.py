@@ -1,0 +1,129 @@
+"""Training loop tests: loss-decrease smoke, checkpoint resume, mesh DP.
+
+SURVEY.md §4 'Integration' + 'Distributed w/o cluster' rows.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from convsep_tpu.configs import get_preset
+from convsep_tpu.configs.presets import TransformConfig, TrainConfig
+from convsep_tpu.data import SegmentDataset, synth_feature_dir
+from convsep_tpu.distributed import make_mesh
+from convsep_tpu.train.loop import Trainer, create_train_state, make_train_step
+
+
+def tiny_train_preset(num_epochs=3, batch_size=8, **train_kw):
+    p = get_preset("ikala")
+    t = TransformConfig(fs=8000, frame_size=256, hop_size=128)
+    model = dataclasses.replace(
+        p.model,
+        time_context=10,
+        feat_size=t.bins,
+        conv1_filters=4,
+        conv1_freq=8,
+        conv2_filters=4,
+        bottleneck=16,
+    )
+    train = dataclasses.replace(
+        p.train,
+        batch_size=batch_size,
+        num_epochs=num_epochs,
+        time_context=10,
+        overlap=5,
+        checkpoint_every_steps=5,
+        **train_kw,
+    )
+    return dataclasses.replace(p, transform=t, model=model, train=train)
+
+
+@pytest.fixture(scope="module")
+def feature_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("feats")
+    synth_feature_dir(
+        str(d),
+        ("vocals", "accompaniment"),
+        num_tracks=3,
+        seconds=2.0,
+        fs=8000,
+        frame_size=256,
+        hop_size=128,
+    )
+    return str(d)
+
+
+def _dataset(feature_dir, preset):
+    return SegmentDataset(
+        feature_dir,
+        ("vocals", "accompaniment"),
+        time_context=preset.train.time_context,
+        overlap=preset.train.overlap,
+    )
+
+
+def test_loss_decreases(feature_dir, tmp_path):
+    preset = tiny_train_preset(num_epochs=4)
+    trainer = Trainer(preset, workdir=str(tmp_path / "run"))
+    losses = trainer.fit(_dataset(feature_dir, preset))
+    assert len(losses) == 4
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_checkpoint_resume(feature_dir, tmp_path):
+    preset = tiny_train_preset(num_epochs=2)
+    wd = str(tmp_path / "run")
+    t1 = Trainer(preset, workdir=wd)
+    t1.fit(_dataset(feature_dir, preset))
+    step1 = int(t1.state.step)
+    assert step1 > 0
+
+    t2 = Trainer(preset, workdir=wd)
+    assert int(t2.state.step) == 0
+    resumed = t2.restore()
+    assert resumed == step1
+    p1 = jax.tree.leaves(t1.state.params)
+    p2 = jax.tree.leaves(t2.state.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # training continues from the restored state
+    more = t2.fit(_dataset(feature_dir, preset), num_epochs=1)
+    assert int(t2.state.step) > step1 and np.isfinite(more[0])
+
+
+def test_mesh_data_parallel_matches_single_device(feature_dir):
+    """Same batches, same init → sharded step == single-device step."""
+    preset = tiny_train_preset(num_epochs=1)
+    ds = _dataset(feature_dir, preset)
+    batches = list(ds.batches(8, shuffle=True, seed=0))[:3]
+
+    state_a, opt_a = create_train_state(preset, 0)
+    step_a = make_train_step(preset, opt_a)
+    for x, y in batches:
+        state_a, loss_a = step_a(state_a, jnp.asarray(x), jnp.asarray(y))
+
+    mesh = make_mesh(data=8, model=1)
+    trainer = Trainer(preset, mesh=mesh)
+    state_b = trainer.state
+    from convsep_tpu.distributed.mesh import batch_sharding
+
+    sh = batch_sharding(mesh, 4)
+    for x, y in batches:
+        state_b, loss_b = trainer.train_step(
+            state_b, jax.device_put(x, sh), jax.device_put(y, sh)
+        )
+
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_nan_free_training_with_interference_terms(feature_dir):
+    preset = tiny_train_preset(num_epochs=1, alpha=0.01, beta=0.05, beta_voc=0.1, other_idx=1)
+    trainer = Trainer(preset)
+    losses = trainer.fit(_dataset(feature_dir, preset))
+    assert np.isfinite(losses).all()
