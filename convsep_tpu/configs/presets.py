@@ -32,6 +32,9 @@ class TransformConfig:
     nfft: int | None = None  # None → frame_size
     window: str = "sinebell"
     iscale: str = "lin"
+    # "fft": jnp.fft (bit-exact parity path) | "matmul": DFT as MXU matmuls
+    # (TPU speed path, ~1e-4 abs of the fft path — see dsp/dft.py)
+    fft_impl: str = "fft"
 
     @property
     def bins(self) -> int:
@@ -81,7 +84,7 @@ class Preset:
 
 
 def _ikala() -> Preset:
-    t = TransformConfig()
+    t = TransformConfig(fft_impl="matmul")
     return Preset(
         name="ikala",
         sources=("vocals", "accompaniment"),
@@ -95,7 +98,7 @@ def _ikala() -> Preset:
 
 
 def _dsd100() -> Preset:
-    t = TransformConfig()
+    t = TransformConfig(fft_impl="matmul")
     return Preset(
         name="dsd100",
         sources=("vocals", "bass", "drums", "other"),
@@ -113,7 +116,7 @@ def _dsd100() -> Preset:
 
 
 def _bach10() -> Preset:
-    t = TransformConfig(frame_size=4096, hop_size=1024)
+    t = TransformConfig(frame_size=4096, hop_size=1024, fft_impl="matmul")
     n_instruments = 4  # violin, clarinet, saxophone, bassoon
     return Preset(
         name="bach10",
@@ -132,7 +135,7 @@ def _bach10() -> Preset:
 
 
 def _highres4096() -> Preset:
-    t = TransformConfig(frame_size=4096, hop_size=1024)
+    t = TransformConfig(frame_size=4096, hop_size=1024, fft_impl="matmul")
     return Preset(
         name="highres4096",
         sources=("vocals", "bass", "drums", "other"),

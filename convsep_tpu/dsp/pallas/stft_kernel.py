@@ -1,0 +1,124 @@
+"""Fused framing + windowed-DFT Pallas kernel.
+
+SURVEY.md §2.2 #1: the TPU-native replacement for the reference's
+`stft_norm` hot loop. Each grid program DMAs one contiguous signal chunk
+HBM→VMEM, builds its block of overlapping frames with static hop-slices
+(VPU, in registers — the (n_frames × win_length) frames array is NEVER
+materialized in HBM, saving ~2× win_length/hop of the signal's bytes in
+HBM traffic), and feeds the MXU with the window-folded DFT matrices from
+dsp/dft.py, emitting (frames, bins) real/imag float32 blocks.
+
+Requirements: win_length % hop == 0 (all presets satisfy this; dsp.stft's
+gather path covers the rest). The signal must be pre-padded with the
+reference's front/back padding — `stft_pallas` handles that and matches
+`dsp.dft.stft_matmul` bit-for-bit in its matmul ordering.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from convsep_tpu.dsp.dft import _forward_mats, _key
+from convsep_tpu.dsp.stft import _pad_signal, num_frames
+
+# frames per grid program; multiple of 8 for f32 sublane tiling
+_BLOCK_FRAMES = 16
+
+
+def _kernel(sig_hbm, cos_ref, sin_ref, re_ref, im_ref, scratch, sem, *, R, H, k, W):
+    j = pl.program_id(0)
+    start = j * R * H
+    # contiguous chunk covering R overlapping frames: (R-1)*H + W = (R+k-1)*H
+    dma = pltpu.make_async_copy(
+        sig_hbm.at[pl.ds(start, (R + k - 1) * H)], scratch, sem
+    )
+    dma.start()
+    dma.wait()
+    blocks = scratch[:].reshape(R + k - 1, H)
+    frames = jnp.concatenate([blocks[i : i + R] for i in range(k)], axis=1)  # (R, W)
+    re_ref[:] = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
+    im_ref[:] = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("hop", "nfft", "win_len", "n_frames", "interpret"))
+def _stft_pallas_impl(padded, cos_m, sin_m, hop, nfft, win_len, n_frames, interpret):
+    H, W = hop, win_len
+    k = W // H
+    R = _BLOCK_FRAMES
+    n_blocks = -(-n_frames // R)  # cdiv
+    bins = nfft // 2 + 1
+    # pad the signal so the last program's chunk is in-bounds
+    need = n_blocks * R * H + (k - 1) * H
+    if padded.shape[-1] < need:
+        padded = jnp.pad(padded, (0, need - padded.shape[-1]))
+
+    re, im = pl.pallas_call(
+        partial(_kernel, R=R, H=H, k=k, W=W),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # signal stays in HBM
+            pl.BlockSpec((W, bins), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, bins), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((R, bins), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, bins), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks * R, bins), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * R, bins), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(((R + k - 1) * H,), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n_blocks * R * W * bins,
+            bytes_accessed=4 * (need + 2 * W * bins + 2 * n_blocks * R * bins),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(padded, cos_m, sin_m)
+    return re[:n_frames], im[:n_frames]
+
+
+def stft_pallas(
+    signal: jnp.ndarray,
+    window: np.ndarray,
+    hop: int,
+    nfft: int | None = None,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """STFT via the fused Pallas kernel → (re, im), matching stft_matmul.
+
+    1-D signals only (the fused separation path vmaps/batches at a higher
+    level). `interpret=True` runs the kernel in interpreter mode (CPU CI).
+    """
+    window = np.asarray(window, np.float64)
+    win_len = len(window)
+    if signal.ndim != 1:
+        raise ValueError(f"stft_pallas expects a 1-D signal, got {signal.shape}")
+    if win_len % hop != 0:
+        raise ValueError(f"pallas stft requires win % hop == 0, got {win_len}/{hop}")
+    if nfft is None:
+        nfft = win_len
+    cos_m, sin_m = _forward_mats(nfft, win_len, _key(window))
+    nf = num_frames(signal.shape[-1], hop)
+    padded = _pad_signal(jnp.asarray(signal, jnp.float32), win_len, hop)
+    return _stft_pallas_impl(
+        padded,
+        jnp.asarray(cos_m),
+        jnp.asarray(sin_m),
+        int(hop),
+        int(nfft),
+        win_len,
+        nf,
+        interpret,
+    )

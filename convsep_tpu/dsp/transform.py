@@ -21,6 +21,7 @@ import numpy as np
 
 from convsep_tpu.configs.presets import TransformConfig
 from convsep_tpu.data.io import save_tensor
+from convsep_tpu.dsp.dft import istft_matmul, stft_matmul
 from convsep_tpu.dsp.istft import istft
 from convsep_tpu.dsp.stft import magphase, scale_magnitude, stft, unscale_magnitude
 from convsep_tpu.dsp.windows import hann, sinebell
@@ -55,8 +56,13 @@ class TransformFFT:
         audio = np.asarray(audio, np.float32)
         if audio.ndim != 1:
             raise ValueError(f"expected mono audio, got shape {audio.shape}")
-        spec = stft(audio, self.window, self.config.hop_size, self.config.nfft)
-        mag, ph = magphase(spec)
+        if self.config.fft_impl == "matmul":
+            re, im = stft_matmul(audio, self.window, self.config.hop_size, self.config.nfft)
+            mag = jnp.sqrt(re * re + im * im)
+            ph = jnp.arctan2(im, re)
+        else:
+            spec = stft(audio, self.window, self.config.hop_size, self.config.nfft)
+            mag, ph = magphase(spec)
         mag = scale_magnitude(mag, self.config.iscale)
         if phase:
             return np.asarray(mag), np.asarray(ph)
@@ -67,10 +73,22 @@ class TransformFFT:
     ) -> np.ndarray:
         """Magnitude (frames, bins) + phase → time signal (length,)."""
         mag = unscale_magnitude(jnp.asarray(mag, jnp.float32), self.config.iscale)
-        spec = mag * jnp.exp(1j * jnp.asarray(phase, jnp.float32))
+        phase = jnp.asarray(phase, jnp.float32)
         if length is None:
             # invert the reference frame-count formula: nf = ceil(L/hop)+2
             length = (mag.shape[-2] - 2) * self.config.hop_size
+        if self.config.fft_impl == "matmul":
+            return np.asarray(
+                istft_matmul(
+                    mag * jnp.cos(phase),
+                    mag * jnp.sin(phase),
+                    self.window,
+                    self.config.hop_size,
+                    int(length),
+                    nfft=self.config.nfft,
+                )
+            )
+        spec = mag * jnp.exp(1j * phase)
         return np.asarray(
             istft(spec, self.window, self.config.hop_size, int(length), nfft=self.config.nfft)
         )

@@ -31,6 +31,7 @@ import numpy as np
 from convsep_tpu.configs.presets import Preset
 from convsep_tpu.data.segment import segment_frames, unsegment_frames
 from convsep_tpu.dsp import istft, num_frames, scale_magnitude, stft, hann
+from convsep_tpu.dsp.dft import istft_matmul, stft_matmul
 from convsep_tpu.dsp.windows import sinebell as _sinebell
 from convsep_tpu.models.convsep import ConvSep
 from convsep_tpu.models.masks import wiener_mask
@@ -75,9 +76,16 @@ def separate_fused(
     """
     t, m, tr = preset.transform, preset.model, preset.train
     win = _window(preset)
-    spec = stft(audio, win, t.hop_size, t.nfft)  # (nf, bins) complex
-    nf = spec.shape[0]
-    mag = scale_magnitude(jnp.abs(spec), t.iscale) * tr.mult_factor_in
+    if t.fft_impl == "matmul":
+        # real-valued MXU path: no complex dtype anywhere (dsp/dft.py)
+        re, im = stft_matmul(audio, win, t.hop_size, t.nfft)  # (nf, bins) ×2
+        nf = re.shape[0]
+        mag_raw = jnp.sqrt(re * re + im * im)
+    else:
+        spec = stft(audio, win, t.hop_size, t.nfft)  # (nf, bins) complex
+        nf = spec.shape[0]
+        mag_raw = jnp.abs(spec)
+    mag = scale_magnitude(mag_raw, t.iscale) * tr.mult_factor_in
 
     segs = segment_frames(mag, m.time_context)  # (nseg, T, F)
     if extra is not None:
@@ -92,8 +100,12 @@ def separate_fused(
     y_frames = unsegment_frames(y.transpose(3, 0, 1, 2), nf)  # (S, nf, F)
     mask = wiener_mask(
         y_frames.transpose(1, 2, 0), p=preset.sep.wiener_p, eps=preset.sep.wiener_eps
-    )  # (nf, F, S)
-    est_spec = mask.transpose(2, 0, 1) * spec[None]  # (S, nf, bins) complex
+    ).transpose(2, 0, 1)  # (S, nf, bins); real mask ⇒ mixture phase kept
+    if t.fft_impl == "matmul":
+        return istft_matmul(
+            mask * re[None], mask * im[None], win, t.hop_size, length, nfft=t.nfft
+        )
+    est_spec = mask * spec[None]  # (S, nf, bins) complex
     return istft(est_spec, win, t.hop_size, length, nfft=t.nfft)
 
 
