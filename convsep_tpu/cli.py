@@ -148,6 +148,40 @@ def _cmd_evaluate(args) -> int:
     return 0
 
 
+def _cmd_convert(args) -> int:
+    """Reference pickle → orbax checkpoint dir (step 0), or back (--export)."""
+    import jax
+
+    from convsep_tpu.configs import get_preset
+    from convsep_tpu.ckpt.convert_reference import (
+        convert_reference_checkpoint,
+        export_reference_params,
+    )
+    from convsep_tpu.ckpt.orbax_io import CheckpointManager
+    from convsep_tpu.train.loop import create_train_state
+
+    preset = get_preset(args.preset)
+    if args.export:
+        import pickle
+
+        params = _load_params(args.input, preset)
+        vals = export_reference_params(jax.tree.map(lambda a: a, params), preset.model)
+        with open(args.out, "wb") as f:
+            pickle.dump(vals, f, protocol=2)
+        print(f"exported {len(vals)} reference arrays -> {args.out}")
+        return 0
+    import dataclasses as dc
+
+    params = convert_reference_checkpoint(args.input, preset.model)
+    state, _ = create_train_state(preset, 0)
+    state = dc.replace(state, params=jax.tree.map(jax.numpy.asarray, params))
+    mgr = CheckpointManager(args.out)
+    mgr.save(0, state)
+    mgr.wait()
+    print(f"converted {args.input} -> orbax checkpoint at {args.out} (step 0)")
+    return 0
+
+
 def _cmd_bench(args) -> int:
     from convsep_tpu.benchmark import run_benchmark
 
@@ -189,6 +223,13 @@ def main(argv=None) -> int:
     ev.add_argument("--est-dir", required=True)
     ev.add_argument("--flen", type=int, default=512)
     ev.set_defaults(fn=_cmd_evaluate)
+
+    cv = sub.add_parser("convert", help="reference pickle <-> orbax checkpoint")
+    cv.add_argument("--preset", required=True)
+    cv.add_argument("--input", required=True, help=".pkl (import) or ckpt dir (--export)")
+    cv.add_argument("--out", required=True)
+    cv.add_argument("--export", action="store_true", help="orbax -> reference pickle")
+    cv.set_defaults(fn=_cmd_convert)
 
     be = sub.add_parser("bench", help="RTF benchmark (one JSON line)")
     be.add_argument("--preset", default="dsd100")

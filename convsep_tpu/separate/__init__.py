@@ -1,5 +1,12 @@
 """Separation (inference) layer: fused whole-track and batched streaming."""
 
 from convsep_tpu.separate.pipeline import Separator, separate_fused, bucket_length
+from convsep_tpu.separate.stream import StreamSeparator, separate_batch
 
-__all__ = ["Separator", "separate_fused", "bucket_length"]
+__all__ = [
+    "Separator",
+    "separate_fused",
+    "bucket_length",
+    "StreamSeparator",
+    "separate_batch",
+]

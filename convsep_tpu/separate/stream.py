@@ -1,0 +1,113 @@
+"""Batched multi-track streaming separation, sharded over the mesh.
+
+BASELINE.json config #4: many tracks at once through the fused
+STFT→CNN→mask→iSTFT program. Tracks are bucketed to one length, stacked on
+a leading batch axis, and the batch axis is sharded over the mesh's `data`
+axis — each chip separates its tracks locally; no cross-chip traffic at
+all (embarrassingly parallel), so throughput scales linearly over ICI-
+connected chips. The host side overlaps prefetch (device_put of the next
+batch) with device compute.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Iterator, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from convsep_tpu.configs.presets import Preset
+from convsep_tpu.distributed.mesh import batch_sharding, replicated
+from convsep_tpu.separate.pipeline import bucket_length, separate_fused
+
+
+@partial(jax.jit, static_argnames=("preset", "length", "apply_fn"))
+def separate_batch(
+    params, tracks: jnp.ndarray, preset: Preset, length: int, apply_fn=None
+) -> jnp.ndarray:
+    """(B, length) mixtures → (B, S, length) stems; one XLA program.
+
+    vmap of the fused single-track program over the batch axis — with the
+    batch sharded, XLA partitions every stage across the mesh.
+    """
+    return jax.vmap(
+        lambda a: separate_fused(params, a, None, preset, length, apply_fn)
+    )(tracks)
+
+
+class StreamSeparator:
+    """Stream many tracks through mesh-sharded fused separation.
+
+    >>> ss = StreamSeparator(preset, params, mesh=make_mesh())
+    >>> for stems_batch in ss.stream(track_iterator, batch_size=8): ...
+    """
+
+    def __init__(self, preset: Preset, params, mesh=None, apply_fn=None):
+        self.preset = preset
+        self.mesh = mesh
+        self.apply_fn = apply_fn
+        if mesh is not None:
+            params = jax.device_put(params, replicated(mesh))
+        self.params = params
+
+    def _bucket(self, batch: Sequence[np.ndarray]) -> tuple[np.ndarray, list[int]]:
+        lengths = [len(t) for t in batch]
+        Lb = bucket_length(max(lengths), self.preset)
+        stacked = np.zeros((len(batch), Lb), np.float32)
+        for i, t in enumerate(batch):
+            stacked[i, : len(t)] = t
+        return stacked, lengths
+
+    def separate_many(self, tracks: Sequence[np.ndarray]) -> list[np.ndarray]:
+        """Separate a list of mono tracks → list of (S, len_i) stems."""
+        stacked, lengths = self._bucket(tracks)
+        sharding = batch_sharding(self.mesh, 2) if self.mesh is not None else None
+        dev = jax.device_put(jnp.asarray(stacked), sharding)
+        out = separate_batch(self.params, dev, self.preset, stacked.shape[1], self.apply_fn)
+        out = np.asarray(out)
+        return [out[i, :, : lengths[i]] for i in range(len(tracks))]
+
+    def stream(
+        self, tracks: Iterator[np.ndarray], batch_size: int
+    ) -> Iterator[list[np.ndarray]]:
+        """Batched streaming with host→device prefetch overlap."""
+        sharding = batch_sharding(self.mesh, 2) if self.mesh is not None else None
+
+        def batches():
+            buf = []
+            for t in tracks:
+                buf.append(np.asarray(t, np.float32))
+                if len(buf) == batch_size:
+                    yield self._bucket(buf)
+                    buf = []
+            if buf:
+                yield self._bucket(buf)
+
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=2)
+        _END = object()
+
+        def producer():
+            try:
+                for stacked, lengths in batches():
+                    q.put((jax.device_put(jnp.asarray(stacked), sharding), lengths))
+                q.put(_END)
+            except Exception as e:
+                q.put(e)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, Exception):
+                raise item
+            dev, lengths = item
+            out = np.asarray(
+                separate_batch(self.params, dev, self.preset, dev.shape[1], self.apply_fn)
+            )
+            yield [out[i, :, : lengths[i]] for i in range(len(lengths))]

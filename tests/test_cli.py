@@ -127,3 +127,25 @@ def test_train_resume_flag(audio_dir, tmp_path):
     wd = str(tmp_path / "run")
     assert cli.main(["train", "--preset", "tinyikala", "--features", feats, "--workdir", wd, "--epochs", "1"]) == 0
     assert cli.main(["train", "--preset", "tinyikala", "--features", feats, "--workdir", wd, "--epochs", "1", "--resume"]) == 0
+
+
+def test_convert_roundtrip_cli(tmp_path):
+    """pkl -> orbax -> pkl via the convert subcommand."""
+    import pickle
+
+    from tests.test_convert import _random_reference_values
+
+    preset = _tiny_ikala()
+    vals = _random_reference_values(preset.model, np.random.default_rng(1))
+    pkl = str(tmp_path / "ref.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(vals, f, protocol=2)
+    ck = str(tmp_path / "ck")
+    assert cli.main(["convert", "--preset", "tinyikala", "--input", pkl, "--out", ck]) == 0
+    back = str(tmp_path / "back.pkl")
+    assert cli.main(["convert", "--preset", "tinyikala", "--input", ck, "--out", back, "--export"]) == 0
+    with open(back, "rb") as f:
+        vals2 = pickle.load(f)
+    assert len(vals2) == len(vals)
+    for a, b in zip(vals, vals2):
+        np.testing.assert_allclose(a, b, atol=1e-6)

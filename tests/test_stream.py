@@ -1,0 +1,73 @@
+"""Batched multi-track streaming tests (BASELINE config #4) on the CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from convsep_tpu.data import sine_mixture
+from convsep_tpu.distributed import make_mesh
+from convsep_tpu.models import ConvSep
+from convsep_tpu.separate import Separator, StreamSeparator
+from tests.test_separate import tiny_preset
+
+
+@pytest.fixture(scope="module")
+def setup():
+    preset = tiny_preset("ikala")
+    cfg = preset.model
+    params = ConvSep(cfg).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, cfg.time_context, cfg.feat_size, 1))
+    )
+    return preset, params
+
+
+def _tracks(n, fs=8000, seed=0):
+    return [
+        sine_mixture(2, fs + 137 * i, fs=fs, freqs=(220.0, 1400.0), seed=seed + i)[1]
+        for i in range(n)
+    ]
+
+
+def test_separate_many_matches_single_track(setup):
+    preset, params = setup
+    tracks = _tracks(3)
+    ss = StreamSeparator(preset, params)
+    outs = ss.separate_many(tracks)
+    single = Separator(preset, params)
+    for t, o in zip(tracks, outs):
+        assert o.shape == (2, len(t))
+        np.testing.assert_allclose(o, single(t), atol=1e-4)
+
+
+def test_separate_many_sharded_matches_unsharded(setup):
+    preset, params = setup
+    tracks = _tracks(8)
+    plain = StreamSeparator(preset, params).separate_many(tracks)
+    mesh = make_mesh(data=8, model=1)
+    sharded = StreamSeparator(preset, params, mesh=mesh).separate_many(tracks)
+    for a, b in zip(plain, sharded):
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_stream_batches(setup):
+    preset, params = setup
+    tracks = _tracks(5)
+    ss = StreamSeparator(preset, params)
+    got = [o for batch in ss.stream(iter(tracks), batch_size=2) for o in batch]
+    assert len(got) == 5
+    single = Separator(preset, params)
+    for t, o in zip(tracks, got):
+        np.testing.assert_allclose(o, single(t), atol=1e-4)
+
+
+def test_stream_propagates_errors(setup):
+    preset, params = setup
+
+    def bad():
+        yield _tracks(1)[0]
+        raise RuntimeError("source died")
+
+    ss = StreamSeparator(preset, params)
+    with pytest.raises(RuntimeError, match="source died"):
+        list(ss.stream(bad(), batch_size=4))
