@@ -103,6 +103,32 @@ class SegmentDataset:
         )
         return x, y
 
+    def _assemble(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Assemble one batch, using the native fastbatch library when
+        available (SURVEY.md §3.2 hot loop #1), else the numpy path."""
+        from convsep_tpu.data import fastbatch
+
+        if fastbatch.available():
+            seg = np.asarray([self._index[int(i)] for i in idx], np.int64)
+            seg_track, seg_start = seg[:, 0].copy(), seg[:, 1].copy()
+            T = self.time_context
+
+            def plane(stem, scale):
+                tracks = [np.asarray(self._load(n, stem)) for n in self._tracks]
+                return fastbatch.assemble_batch(tracks, seg_track, seg_start, T, scale)
+
+            x = np.stack(
+                [plane("mix", self.mult_factor_in)]
+                + [plane(c, self.mult_factor_in) for c in self.extra_channels],
+                axis=-1,
+            )
+            y = np.stack(
+                [plane(s, self.mult_factor_out) for s in self.sources], axis=-1
+            )
+            return x, y
+        xs, ys = zip(*(self.get(int(i)) for i in idx))
+        return np.stack(xs), np.stack(ys)
+
     def batches(
         self,
         batch_size: int,
@@ -117,8 +143,7 @@ class SegmentDataset:
         stop = len(order) - batch_size + 1 if drop_remainder else len(order)
         for b0 in range(0, max(stop, 0), batch_size):
             idx = order[b0 : b0 + batch_size]
-            xs, ys = zip(*(self.get(int(i)) for i in idx))
-            x, y = np.stack(xs), np.stack(ys)
+            x, y = self._assemble(idx)
             if not drop_remainder and x.shape[0] < batch_size:
                 pad = batch_size - x.shape[0]
                 x = np.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
