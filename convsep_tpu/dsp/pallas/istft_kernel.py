@@ -1,0 +1,143 @@
+"""Fused inverse-DFT + windowed overlap-add Pallas kernel.
+
+SURVEY.md §2.2 #2: the scatter-free TPU overlap-add. Each grid program
+takes an R-frame block of (re, im) spectra, runs the window-folded inverse
+DFT on the MXU (dsp/dft.py matrices), and overlap-adds *locally* in VMEM —
+the (n_frames × win_length) inverse-frame array never exists in HBM. A
+frame block of R frames covers R+k-1 output hop-blocks; the R interior
+blocks are this program's exclusive output rows, and the k-1 trailing
+blocks that overlap the next program's region are emitted as a separate
+per-program `spill` output, folded in afterwards with one shifted add (no
+scatter, no cross-program races).
+
+Requires win_length % hop == 0 (all presets; the jnp paths cover the rest).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from convsep_tpu.dsp.dft import _inverse_mats, _key
+from convsep_tpu.dsp.istft import ola_norm
+from convsep_tpu.dsp.stft import num_frames
+
+_BLOCK_FRAMES = 16
+
+
+def _kernel(re_ref, im_ref, inv_a_ref, inv_b_ref, body_ref, spill_ref, *, R, H, k, W):
+    frames = jnp.dot(
+        re_ref[:], inv_a_ref[:], preferred_element_type=jnp.float32
+    ) + jnp.dot(im_ref[:], inv_b_ref[:], preferred_element_type=jnp.float32)  # (R, W)
+    sub = frames.reshape(R, k, H)
+    # local OLA over R+k-1 hop blocks: out[j] = sum_i sub[j-i, i]
+    n_local = R + k - 1
+    acc = jnp.zeros((n_local, H), jnp.float32)
+    for i in range(k):
+        acc = acc.at[i : i + R].add(sub[:, i, :])
+    body_ref[:] = acc[:R]
+    spill_ref[:] = acc[R:].reshape(1, (k - 1) * H)
+
+
+@partial(jax.jit, static_argnames=("hop", "length", "win_len", "nfft", "interpret"))
+def _istft_pallas_impl(re, im, inv_a, inv_b, inv_norm, hop, length, win_len, nfft, interpret):
+    H, W = hop, win_len
+    k = W // H
+    nf = re.shape[-2]
+    bins = re.shape[-1]
+    R = _BLOCK_FRAMES
+    n_blocks = -(-nf // R)
+    pad_f = n_blocks * R - nf
+    if pad_f:
+        re = jnp.pad(re, ((0, pad_f), (0, 0)))
+        im = jnp.pad(im, ((0, pad_f), (0, 0)))
+
+    body, spill = pl.pallas_call(
+        partial(_kernel, R=R, H=H, k=k, W=W),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((R, bins), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, bins), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bins, W), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bins, W), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((R, H), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, (k - 1) * H), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks * R, H), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, (k - 1) * H), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * n_blocks * R * W * bins,
+            bytes_accessed=4 * (2 * n_blocks * R * bins + 2 * bins * W + n_blocks * R * H),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(re, im, inv_a, inv_b)
+
+    # fold each program's spill into the head of the next program's body
+    spill_rows = spill.reshape(n_blocks, k - 1, H)
+    pad_spill = jnp.pad(spill_rows, ((1, 0), (0, 0), (0, 0)))[:-1]  # shift down one block
+    body = body.reshape(n_blocks, R, H)
+    body = body.at[:, : k - 1, :].add(pad_spill)
+    data = body.reshape(n_blocks * R * H)
+    # the final spill extends past the last body block
+    tail = spill_rows[-1].reshape(-1)
+    data = jnp.concatenate([data, tail])
+    total = (nf - 1) * H + W
+    data = data[:total] * inv_norm
+    front = W // 2
+    return data[front : front + length].astype(jnp.float32)
+
+
+def istft_pallas(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    window: np.ndarray,
+    hop: int,
+    length: int,
+    analysis_window: np.ndarray | None = None,
+    nfft: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(nf, bins)×2 → (length,) via the fused Pallas kernel; matches
+    dsp.dft.istft_matmul. 2-D spectra only (batch at a higher level)."""
+    window = np.asarray(window, np.float64)
+    win_len = len(window)
+    if re.ndim != 2:
+        raise ValueError(f"istft_pallas expects (frames, bins), got {re.shape}")
+    if win_len % hop != 0:
+        raise ValueError(f"pallas istft requires win % hop == 0, got {win_len}/{hop}")
+    if analysis_window is None:
+        analysis_window = window
+    if nfft is None:
+        nfft = 2 * (int(re.shape[-1]) - 1)
+    expect = num_frames(length, hop)
+    if int(re.shape[-2]) != expect:
+        raise ValueError(
+            f"re/im have {re.shape[-2]} frames but length={length}, hop={hop} implies {expect}"
+        )
+    inv_a, inv_b = _inverse_mats(nfft, win_len, _key(window))
+    inv_norm = 1.0 / ola_norm(
+        window.astype(np.float32), np.asarray(analysis_window, np.float32), int(hop), expect
+    )
+    return _istft_pallas_impl(
+        jnp.asarray(re, jnp.float32),
+        jnp.asarray(im, jnp.float32),
+        jnp.asarray(inv_a),
+        jnp.asarray(inv_b),
+        jnp.asarray(inv_norm),
+        int(hop),
+        int(length),
+        win_len,
+        int(nfft),
+        interpret,
+    )

@@ -64,6 +64,9 @@ class ConvSepConfig:
     # plane when channels_in > 1 (score-informed runs). "first" keeps the
     # mixture channel, "sum" sums all reconstructed channels.
     decoder_reduce: str = "first"
+    # MXU compute dtype: "float32" (parity) or "bfloat16" (speed; params stay
+    # float32, activations/matmuls run bf16, output cast back to float32).
+    compute_dtype: str = "float32"
 
     @property
     def conv2_time_eff(self) -> int:
@@ -142,28 +145,30 @@ class ConvSep(nn.Module):
         )
         b2 = self.param("conv2_bias", nn.initializers.zeros, (cfg.conv2_filters,))
 
+        dt = jnp.dtype(cfg.compute_dtype)
+        xc, k1c, k2c = x.astype(dt), k1.astype(dt), k2.astype(dt)
         dn = ("NHWC", "HWIO", "NHWC")
         s1 = (1, cfg.conv1_freq_stride)
         # vertical (frequency) conv — linear, bias via separate BiasLayer in
         # the reference
-        h1 = jax.lax.conv_general_dilated(x, k1, s1, "VALID", dimension_numbers=dn)
-        h1b = h1 + b1
+        h1 = jax.lax.conv_general_dilated(xc, k1c, s1, "VALID", dimension_numbers=dn)
+        h1b = h1 + b1.astype(dt)
         # horizontal (time) conv — linear
-        h2 = jax.lax.conv_general_dilated(h1b, k2, (1, 1), "VALID", dimension_numbers=dn)
-        h2b = h2 + b2
+        h2 = jax.lax.conv_general_dilated(h1b, k2c, (1, 1), "VALID", dimension_numbers=dn)
+        h2b = h2 + b2.astype(dt)
 
         flat = h2b.reshape(B, -1)  # (B, enc_flat) with (T', F', N2) row-major
-        fc = nn.Dense(cfg.bottleneck, name="fc")(flat)
+        fc = nn.Dense(cfg.bottleneck, name="fc", dtype=dt)(flat)
         fc = nn.relu(fc)
 
         # per-source expansion, fused into one dense: (B, S*enc_flat)
         S = cfg.num_sources
-        exp = nn.Dense(S * cfg.enc_flat, name="fc_expand")(fc)
+        exp = nn.Dense(S * cfg.enc_flat, name="fc_expand", dtype=dt)(fc)
         exp = nn.relu(exp)
         # fold sources into batch for the grouped transposed convs
         z = exp.reshape(B * S, cfg.enc_time, cfg.enc_freq, cfg.conv2_filters)
-        d2 = tied_conv_transpose(z, k2, (1, 1), (cfg.time_context, cfg.enc_freq))
-        d1 = tied_conv_transpose(d2, k1, s1, (cfg.time_context, cfg.feat_size))
+        d2 = tied_conv_transpose(z, k2c, (1, 1), (cfg.time_context, cfg.enc_freq))
+        d1 = tied_conv_transpose(d2, k1c, s1, (cfg.time_context, cfg.feat_size))
         # (B*S, T, F, C) → collapse channels → (B, T, F, S)
         if cfg.decoder_reduce == "first":
             d = d1[..., 0]
@@ -174,7 +179,7 @@ class ConvSep(nn.Module):
         y = d.reshape(B, S, cfg.time_context, cfg.feat_size).transpose(0, 2, 3, 1)
 
         out_bias = self.param("out_bias", nn.initializers.zeros, (S,))
-        return nn.relu(y + out_bias)
+        return nn.relu(y.astype(jnp.float32) + out_bias)
 
     def separate(
         self, x: jnp.ndarray, mix: jnp.ndarray, p: float = 1.0, eps: float = 1e-8

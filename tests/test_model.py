@@ -95,3 +95,18 @@ def test_multichannel_score_informed_input(rng):
     params = model.init(jax.random.PRNGKey(1), x)
     y = model.apply(params, x)
     assert y.shape == (2, 30, 513, 4)
+
+
+def test_bfloat16_compute_close_to_f32(rng):
+    import dataclasses
+
+    cfg32 = CFG
+    cfg16 = dataclasses.replace(CFG, compute_dtype="bfloat16")
+    model32, params = _init(cfg32)
+    model16 = ConvSep(cfg16)
+    x = jnp.asarray(np.abs(rng.standard_normal((2, 30, 513, 1))).astype(np.float32))
+    y32 = np.asarray(model32.apply(params, x))
+    y16 = np.asarray(model16.apply(params, x))
+    assert y16.dtype == np.float32
+    scale = np.abs(y32).max() + 1e-9
+    assert np.abs(y16 - y32).max() / scale < 0.05

@@ -64,3 +64,28 @@ def test_wiener_pallas_shape_validation(rng):
         wiener_apply_pallas(
             jnp.zeros((2, 10, 16)), jnp.zeros((9, 16)), jnp.zeros((9, 16)), interpret=True
         )
+
+
+@pytest.mark.parametrize("win,hop", [(256, 128), (1024, 256)])  # k=2 and k=4
+def test_istft_pallas_matches_matmul(rng, win, hop):
+    from convsep_tpu.dsp.dft import istft_matmul
+    from convsep_tpu.dsp.pallas import istft_pallas
+
+    length = 9000
+    x = (0.3 * rng.standard_normal(length)).astype(np.float32)
+    w = sinebell(win)
+    re, im = stft_matmul(x, w, hop)
+    a = np.asarray(istft_matmul(re, im, w, hop, length))
+    b = np.asarray(istft_pallas(re, im, w, hop, length, interpret=True))
+    np.testing.assert_allclose(b, a, atol=1e-4)
+    np.testing.assert_allclose(b, x, atol=2e-3)
+
+
+def test_istft_pallas_validation(rng):
+    from convsep_tpu.dsp.pallas import istft_pallas
+
+    w = sinebell(256)
+    with pytest.raises(ValueError, match="win % hop"):
+        istft_pallas(np.zeros((10, 129)), np.zeros((10, 129)), w, 100, 1000, interpret=True)
+    with pytest.raises(ValueError, match="frames"):
+        istft_pallas(np.zeros((5, 129)), np.zeros((5, 129)), w, 128, 44100, interpret=True)
