@@ -111,7 +111,8 @@ def _cmd_separate(args) -> int:
         extra = score_filtered_channels(
             mag, notes, fs=preset.transform.fs, hop=preset.transform.hop_size
         ) * preset.train.mult_factor_in
-    sep = Separator(preset, params)
+    # stems quantized to PCM16 on device — the wav precision, half the transfer
+    sep = Separator(preset, params, output_dtype="int16")
     stems = sep(audio, extra=extra)
     os.makedirs(args.out, exist_ok=True)
     for name, stem in zip(preset.sources, stems):

@@ -42,9 +42,15 @@ def read_wav(path: str | os.PathLike) -> tuple[int, np.ndarray]:
 
 
 def write_wav(path: str | os.PathLike, fs: int, audio: np.ndarray) -> None:
-    """Write float audio as int16 wav (reference writeAudioScipy [M])."""
-    clipped = np.clip(np.asarray(audio, np.float32), -1.0, 32767.0 / INT16_SCALE)
-    wavfile.write(os.fspath(path), int(fs), (clipped * INT16_SCALE).astype(np.int16))
+    """Write audio as int16 wav (reference writeAudioScipy [M]).
+
+    Float input is scaled/clipped to PCM16; int16 input (e.g. stems already
+    quantized on device) is written as-is."""
+    audio = np.asarray(audio)
+    if audio.dtype != np.int16:
+        clipped = np.clip(audio.astype(np.float32), -1.0, 32767.0 / INT16_SCALE)
+        audio = (clipped * INT16_SCALE).astype(np.int16)
+    wavfile.write(os.fspath(path), int(fs), audio)
 
 
 def save_tensor(arr: np.ndarray, path: str | os.PathLike) -> None:

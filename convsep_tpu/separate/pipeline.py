@@ -59,7 +59,7 @@ def bucket_length(length: int, preset: Preset) -> int:
     return max(unit, int(math.ceil(length / unit)) * unit)
 
 
-@partial(jax.jit, static_argnames=("preset", "length", "apply_fn"))
+@partial(jax.jit, static_argnames=("preset", "length", "apply_fn", "output_dtype"))
 def separate_fused(
     params,
     audio: jnp.ndarray,
@@ -67,12 +67,16 @@ def separate_fused(
     preset: Preset,
     length: int,
     apply_fn=None,
+    output_dtype: str = "float32",
 ) -> jnp.ndarray:
     """audio (length,) → stems (num_sources, length), one XLA program.
 
     `extra`: optional (n_frames, F, C-1) score-informed channels aligned
     with the mixture frames (already scaled like the mixture input).
     `apply_fn`: model apply override (defaults to ConvSep(preset.model)).
+    `output_dtype="int16"` converts stems to PCM16 ON DEVICE — exactly the
+    wav output precision, at half the device→host bytes (the host link is
+    the bottleneck on tunneled runtimes).
     """
     t, m, tr = preset.transform, preset.model, preset.train
     win = _window(preset)
@@ -102,11 +106,15 @@ def separate_fused(
         y_frames.transpose(1, 2, 0), p=preset.sep.wiener_p, eps=preset.sep.wiener_eps
     ).transpose(2, 0, 1)  # (S, nf, bins); real mask ⇒ mixture phase kept
     if t.fft_impl == "matmul":
-        return istft_matmul(
+        stems = istft_matmul(
             mask * re[None], mask * im[None], win, t.hop_size, length, nfft=t.nfft
         )
-    est_spec = mask * spec[None]  # (S, nf, bins) complex
-    return istft(est_spec, win, t.hop_size, length, nfft=t.nfft)
+    else:
+        est_spec = mask * spec[None]  # (S, nf, bins) complex
+        stems = istft(est_spec, win, t.hop_size, length, nfft=t.nfft)
+    if output_dtype == "int16":
+        return jnp.clip(stems * 32768.0, -32768.0, 32767.0).astype(jnp.int16)
+    return stems
 
 
 class Separator:
@@ -116,12 +124,17 @@ class Separator:
     >>> stems = sep(audio)           # (num_sources, len(audio)) float32
     """
 
-    def __init__(self, preset: Preset, params, apply_fn=None):
+    def __init__(self, preset: Preset, params, apply_fn=None, output_dtype: str = "float32"):
         self.preset = preset
         self.params = params
         self.apply_fn = apply_fn
+        if output_dtype not in ("float32", "int16"):
+            raise ValueError(f"output_dtype must be float32|int16, got {output_dtype}")
+        self.output_dtype = output_dtype
 
     def __call__(self, audio: np.ndarray, extra: np.ndarray | None = None) -> np.ndarray:
+        """→ (num_sources, len) stems; float32 in [-1,1] or PCM int16 per
+        `output_dtype` (int16 halves the device→host transfer)."""
         audio = np.asarray(audio, np.float32)
         if audio.ndim != 1:
             raise ValueError(f"expected mono (length,) audio, got {audio.shape}")
@@ -135,6 +148,12 @@ class Separator:
                 extra = np.pad(extra, ((0, nf - extra.shape[0]), (0, 0), (0, 0)))
             extra = jnp.asarray(extra[:nf])
         stems = separate_fused(
-            self.params, jnp.asarray(padded), extra, self.preset, Lb, self.apply_fn
+            self.params,
+            jnp.asarray(padded),
+            extra,
+            self.preset,
+            Lb,
+            self.apply_fn,
+            self.output_dtype,
         )
         return np.asarray(stems)[:, :L]

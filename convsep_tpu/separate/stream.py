@@ -23,9 +23,14 @@ from convsep_tpu.distributed.mesh import batch_sharding, replicated
 from convsep_tpu.separate.pipeline import bucket_length, separate_fused
 
 
-@partial(jax.jit, static_argnames=("preset", "length", "apply_fn"))
+@partial(jax.jit, static_argnames=("preset", "length", "apply_fn", "output_dtype"))
 def separate_batch(
-    params, tracks: jnp.ndarray, preset: Preset, length: int, apply_fn=None
+    params,
+    tracks: jnp.ndarray,
+    preset: Preset,
+    length: int,
+    apply_fn=None,
+    output_dtype: str = "float32",
 ) -> jnp.ndarray:
     """(B, length) mixtures → (B, S, length) stems; one XLA program.
 
@@ -33,7 +38,7 @@ def separate_batch(
     batch sharded, XLA partitions every stage across the mesh.
     """
     return jax.vmap(
-        lambda a: separate_fused(params, a, None, preset, length, apply_fn)
+        lambda a: separate_fused(params, a, None, preset, length, apply_fn, output_dtype)
     )(tracks)
 
 
@@ -44,10 +49,18 @@ class StreamSeparator:
     >>> for stems_batch in ss.stream(track_iterator, batch_size=8): ...
     """
 
-    def __init__(self, preset: Preset, params, mesh=None, apply_fn=None):
+    def __init__(
+        self,
+        preset: Preset,
+        params,
+        mesh=None,
+        apply_fn=None,
+        output_dtype: str = "float32",
+    ):
         self.preset = preset
         self.mesh = mesh
         self.apply_fn = apply_fn
+        self.output_dtype = output_dtype
         if mesh is not None:
             params = jax.device_put(params, replicated(mesh))
         self.params = params
@@ -65,7 +78,9 @@ class StreamSeparator:
         stacked, lengths = self._bucket(tracks)
         sharding = batch_sharding(self.mesh, 2) if self.mesh is not None else None
         dev = jax.device_put(jnp.asarray(stacked), sharding)
-        out = separate_batch(self.params, dev, self.preset, stacked.shape[1], self.apply_fn)
+        out = separate_batch(
+            self.params, dev, self.preset, stacked.shape[1], self.apply_fn, self.output_dtype
+        )
         out = np.asarray(out)
         return [out[i, :, : lengths[i]] for i in range(len(tracks))]
 
@@ -108,6 +123,8 @@ class StreamSeparator:
                 raise item
             dev, lengths = item
             out = np.asarray(
-                separate_batch(self.params, dev, self.preset, dev.shape[1], self.apply_fn)
+                separate_batch(
+                    self.params, dev, self.preset, dev.shape[1], self.apply_fn, self.output_dtype
+                )
             )
             yield [out[i, :, : lengths[i]] for i in range(len(lengths))]

@@ -151,3 +151,18 @@ def test_separator_rejects_stereo(ikala):
     sep = Separator(ikala, params={}, apply_fn=lambda p, x: x)
     with pytest.raises(ValueError):
         sep(np.zeros((100, 2), np.float32))
+
+
+def test_int16_output_dtype(ikala):
+    L = 8000
+    stems, mix = sine_mixture(2, L, fs=ikala.transform.fs, freqs=(220.0, 1400.0), seed=3)
+    sep_f = _oracle_separator(ikala, stems, L)
+    sep_i = Separator(ikala, params={}, apply_fn=sep_f.apply_fn, output_dtype="int16")
+    est_f = sep_f(mix)
+    est_i = sep_i(mix)
+    assert est_i.dtype == np.int16
+    np.testing.assert_allclose(est_i / 32768.0, est_f, atol=1.1 / 32768)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="output_dtype"):
+        Separator(ikala, params={}, output_dtype="int8")
