@@ -19,6 +19,9 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=5)
     args = ap.parse_args()
 
+    from convsep_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     from convsep_tpu.benchmark import run_benchmark
 
     result = run_benchmark(args.preset, seconds=args.seconds, runs=args.runs)

@@ -25,7 +25,11 @@ def _cmd_compute_features(args) -> int:
 
     preset = get_preset(args.preset)
     tracks = compute_features(
-        args.audio_dir, args.out, preset, score_informed=args.score_informed
+        args.audio_dir,
+        args.out,
+        preset,
+        score_informed=args.score_informed,
+        layout=args.layout,
     )
     print(f"computed features for {len(tracks)} tracks -> {args.out}")
     return 0
@@ -199,6 +203,12 @@ def main(argv=None) -> int:
     cf.add_argument("--audio-dir", required=True)
     cf.add_argument("--out", required=True)
     cf.add_argument("--score-informed", action="store_true")
+    cf.add_argument(
+        "--layout",
+        default="trackdirs",
+        choices=["trackdirs", "ikala-stereo"],
+        help="trackdirs: <track>/<stem>.wav; ikala-stereo: flat stereo wavs (ch0 accomp, ch1 voice)",
+    )
     cf.set_defaults(fn=_cmd_compute_features)
 
     tr = sub.add_parser("train", help="train a separation model")
@@ -239,6 +249,9 @@ def main(argv=None) -> int:
     be.set_defaults(fn=_cmd_bench)
 
     args = p.parse_args(argv)
+    from convsep_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     return args.fn(args)
 
 

@@ -60,6 +60,9 @@ class TrainConfig:
     overlap: int = 20  # training segment overlap in frames
     checkpoint_every_steps: int = 500
     seed: int = 0
+    # test-mode numerics tripwire (SURVEY.md §5.2): raise on NaN in any
+    # jitted computation for the session
+    debug_nans: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

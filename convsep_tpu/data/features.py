@@ -28,21 +28,13 @@ def _mono(audio: np.ndarray) -> np.ndarray:
     return audio.mean(axis=1) if audio.ndim == 2 else audio
 
 
-def compute_features(
-    audio_dir: str,
-    out_dir: str,
-    preset: Preset,
-    score_informed: bool = False,
-) -> list[str]:
-    """Compute feature files for every track directory; returns track names."""
-    t = TransformFFT(preset.transform)
-    os.makedirs(out_dir, exist_ok=True)
+def _tracks_trackdirs(audio_dir: str, preset: Preset):
+    """`<dir>/<track>/<stem>.wav` layout (DSD100/Bach10-style)."""
     tracks = sorted(
         d for d in os.listdir(audio_dir) if os.path.isdir(os.path.join(audio_dir, d))
     )
     if not tracks:
         raise FileNotFoundError(f"no track directories under {audio_dir}")
-    done = []
     for track in tracks:
         tdir = os.path.join(audio_dir, track)
         stems = {}
@@ -52,9 +44,7 @@ def compute_features(
                 raise FileNotFoundError(f"missing stem {p}")
             fs, audio = read_wav(p)
             if fs != preset.transform.fs:
-                raise ValueError(
-                    f"{p}: sample rate {fs} != preset {preset.transform.fs}"
-                )
+                raise ValueError(f"{p}: sample rate {fs} != preset {preset.transform.fs}")
             stems[s] = _mono(audio)
         n = min(len(a) for a in stems.values())
         stems = {s: a[:n] for s, a in stems.items()}
@@ -64,6 +54,49 @@ def compute_features(
             mix = _mono(mix)[:n]
         else:  # reference behavior: mixture = sum of stems
             mix = np.sum(list(stems.values()), axis=0)
+        yield track, tdir, stems, mix
+
+
+def _tracks_ikala_stereo(audio_dir: str, preset: Preset):
+    """iKala layout: flat stereo wavs, one channel per stem.
+
+    MIREX iKala clips carry the accompaniment in channel 0 and the voice in
+    channel 1 [M]; `preset.sources` order (vocals, accompaniment) maps to
+    channels (1, 0). Mixture = channel sum (reference behavior)."""
+    wavs = sorted(f for f in os.listdir(audio_dir) if f.endswith(".wav"))
+    if not wavs:
+        raise FileNotFoundError(f"no wav files under {audio_dir}")
+    chan = {"vocals": 1, "accompaniment": 0}
+    for f in wavs:
+        p = os.path.join(audio_dir, f)
+        fs, audio = read_wav(p)
+        if fs != preset.transform.fs:
+            raise ValueError(f"{p}: sample rate {fs} != preset {preset.transform.fs}")
+        if audio.ndim != 2 or audio.shape[1] != 2:
+            raise ValueError(f"{p}: ikala-stereo layout needs stereo wavs, got {audio.shape}")
+        stems = {s: audio[:, chan[s]] for s in preset.sources}
+        yield f[:-4], audio_dir, stems, audio.sum(axis=1)
+
+
+_LAYOUTS = {"trackdirs": _tracks_trackdirs, "ikala-stereo": _tracks_ikala_stereo}
+
+
+def compute_features(
+    audio_dir: str,
+    out_dir: str,
+    preset: Preset,
+    score_informed: bool = False,
+    layout: str = "trackdirs",
+) -> list[str]:
+    """Compute feature files for every track; returns track names."""
+    t = TransformFFT(preset.transform)
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        walker = _LAYOUTS[layout]
+    except KeyError:
+        raise ValueError(f"unknown layout {layout!r}; have {sorted(_LAYOUTS)}") from None
+    done = []
+    for track, tdir, stems, mix in walker(audio_dir, preset):
 
         mix_mag = t.compute_file(mix)
         save_tensor(mix_mag, os.path.join(out_dir, f"{track}.mix.data"))

@@ -126,6 +126,8 @@ class Trainer:
         self.preset = preset
         self.workdir = workdir
         self.mesh = mesh
+        if preset.train.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         seed = preset.train.seed if seed is None else seed
         self.state, self.opt = create_train_state(preset, seed)
         self.train_step = make_train_step(preset, self.opt)

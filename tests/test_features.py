@@ -1,0 +1,65 @@
+"""compute_features tests: trackdirs + ikala-stereo layouts, score-informed."""
+
+import os
+
+import numpy as np
+import pytest
+
+from convsep_tpu.data import sine_mixture, write_wav, load_tensor
+from convsep_tpu.data.features import compute_features
+from tests.test_separate import tiny_preset
+
+FS = 8000
+
+
+def test_trackdirs_layout(tmp_path):
+    preset = tiny_preset("ikala")
+    adir = tmp_path / "audio"
+    for i in range(2):
+        d = adir / f"t{i}"
+        d.mkdir(parents=True)
+        stems, _ = sine_mixture(2, FS, fs=FS, seed=i)
+        write_wav(d / "vocals.wav", FS, stems[0])
+        write_wav(d / "accompaniment.wav", FS, stems[1])
+    out = tmp_path / "feats"
+    tracks = compute_features(str(adir), str(out), preset)
+    assert tracks == ["t0", "t1"]
+    mix = load_tensor(str(out / "t0.mix.data"))
+    voc = load_tensor(str(out / "t0.vocals.data"))
+    assert mix.shape == voc.shape and mix.shape[1] == preset.transform.bins
+
+
+def test_ikala_stereo_layout(tmp_path):
+    preset = tiny_preset("ikala")
+    adir = tmp_path / "audio"
+    adir.mkdir()
+    stems, _ = sine_mixture(2, FS, fs=FS, seed=0)
+    stereo = np.stack([stems[1], stems[0]], axis=1)  # ch0 accomp, ch1 voice
+    write_wav(adir / "clip.wav", FS, stereo)
+    out = tmp_path / "feats"
+    tracks = compute_features(str(adir), str(out), preset, layout="ikala-stereo")
+    assert tracks == ["clip"]
+    for stem in ("vocals", "accompaniment", "mix"):
+        assert os.path.exists(out / f"clip.{stem}.data")
+    # vocals features come from channel 1 (the voice)
+    from convsep_tpu.dsp.transform import TransformFFT
+
+    t = TransformFFT(preset.transform)
+    fs_read = 1.0 / 32768
+    want = t.compute_file(np.round(stems[0] * 32768) / 32768.0)
+    got = load_tensor(str(out / "clip.vocals.data"))
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_ikala_stereo_rejects_mono(tmp_path):
+    preset = tiny_preset("ikala")
+    adir = tmp_path / "audio"
+    adir.mkdir()
+    write_wav(adir / "m.wav", FS, np.zeros(FS, np.float32))
+    with pytest.raises(ValueError, match="stereo"):
+        compute_features(str(adir), str(tmp_path / "f"), preset, layout="ikala-stereo")
+
+
+def test_unknown_layout(tmp_path):
+    with pytest.raises(ValueError, match="unknown layout"):
+        compute_features(str(tmp_path), str(tmp_path), tiny_preset("ikala"), layout="x")
