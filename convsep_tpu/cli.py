@@ -47,7 +47,12 @@ def _cmd_train(args) -> int:
         preset = dataclasses.replace(
             preset, train=dataclasses.replace(preset.train, num_epochs=args.epochs)
         )
-    extra = tuple(f"score_{s}" for s in preset.sources) if args.score_informed else ()
+    if args.score_informed:
+        extra = tuple(f"score_{s}" for s in preset.sources)
+    elif preset.transform.multires:
+        extra = tuple(f"res{size}" for size in preset.transform.multires)
+    else:
+        extra = ()
     ds = SegmentDataset(
         args.features,
         preset.sources,

@@ -35,6 +35,11 @@ class TransformConfig:
     # "fft": jnp.fft (bit-exact parity path) | "matmul": DFT as MXU matmuls
     # (TPU speed path, ~1e-4 abs of the fft path — see dsp/dft.py)
     fft_impl: str = "fft"
+    # Multi-resolution analysis (BASELINE config #5): extra window sizes
+    # whose magnitudes become additional input channels. They share
+    # `hop_size` (so frame grids align exactly) and are frequency-
+    # interpolated onto the main `bins` axis (dsp/multires.py).
+    multires: tuple[int, ...] = ()
 
     @property
     def bins(self) -> int:
@@ -155,11 +160,34 @@ def _highres4096() -> Preset:
     )
 
 
+def _multires4096() -> Preset:
+    """BASELINE config #5: 4096-pt analysis with 1024/2048-pt magnitudes
+    stacked as extra input channels (dsp/multires.py)."""
+    t = TransformConfig(
+        frame_size=4096, hop_size=1024, fft_impl="matmul", multires=(1024, 2048)
+    )
+    return Preset(
+        name="multires4096",
+        sources=("vocals", "bass", "drums", "other"),
+        transform=t,
+        model=ConvSepConfig(
+            time_context=30,
+            feat_size=t.bins,
+            channels_in=1 + len(t.multires),
+            num_sources=4,
+            conv1_freq_stride=4,
+        ),
+        train=TrainConfig(alpha=0.001, beta=0.01, beta_voc=0.03, vocals_idx=0, other_idx=3),
+        sep=SepConfig(),
+    )
+
+
 PRESETS = {
     "ikala": _ikala,
     "dsd100": _dsd100,
     "bach10": _bach10,
     "highres4096": _highres4096,
+    "multires4096": _multires4096,
 }
 
 

@@ -103,6 +103,23 @@ def compute_features(
         for s, audio in stems.items():
             save_tensor(t.compute_file(audio), os.path.join(out_dir, f"{track}.{s}.data"))
 
+        if preset.transform.multires:
+            import jax.numpy as jnp
+
+            from convsep_tpu.dsp.multires import multires_channels
+            from convsep_tpu.dsp.stft import scale_magnitude
+
+            ex = np.asarray(
+                scale_magnitude(
+                    multires_channels(jnp.asarray(mix, jnp.float32), preset.transform),
+                    preset.transform.iscale,
+                )
+            )
+            for i, size in enumerate(preset.transform.multires):
+                save_tensor(
+                    ex[..., i], os.path.join(out_dir, f"{track}.res{size}.data")
+                )
+
         if score_informed:
             per_source = []
             for s in preset.sources:

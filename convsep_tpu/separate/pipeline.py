@@ -91,6 +91,12 @@ def separate_fused(
         mag_raw = jnp.abs(spec)
     mag = scale_magnitude(mag_raw, t.iscale) * tr.mult_factor_in
 
+    if extra is None and t.multires:
+        # multi-resolution channels computed inside the same program
+        from convsep_tpu.dsp.multires import multires_channels
+
+        extra = scale_magnitude(multires_channels(audio, t), t.iscale) * tr.mult_factor_in
+
     segs = segment_frames(mag, m.time_context)  # (nseg, T, F)
     if extra is not None:
         ex = segment_frames(extra.transpose(2, 0, 1), m.time_context)  # (C-1, nseg, T, F)
