@@ -130,6 +130,46 @@ def _cmd_separate(args) -> int:
     return 0
 
 
+def _cmd_separate_batch(args) -> int:
+    """Stream every wav in a directory through mesh-sharded batched
+    separation (BASELINE config #4)."""
+    from convsep_tpu.configs import get_preset
+    from convsep_tpu.data.io import read_wav, write_wav
+    from convsep_tpu.separate import StreamSeparator
+
+    preset = get_preset(args.preset)
+    params = _load_params(args.params, preset)
+    mesh = None
+    if args.mesh_data > 1:
+        from convsep_tpu.distributed import make_mesh
+
+        mesh = make_mesh(data=args.mesh_data)
+    names = sorted(f for f in os.listdir(args.input_dir) if f.endswith(".wav"))
+    if not names:
+        raise FileNotFoundError(f"no wavs under {args.input_dir}")
+
+    def tracks():
+        for n in names:
+            fs, audio = read_wav(os.path.join(args.input_dir, n))
+            if fs != preset.transform.fs:
+                raise ValueError(f"{n}: fs {fs} != preset fs {preset.transform.fs}")
+            yield audio.mean(axis=1) if audio.ndim == 2 else audio
+
+    ss = StreamSeparator(preset, params, mesh=mesh, output_dtype="int16")
+    done = 0
+    it = iter(names)
+    for batch in ss.stream(tracks(), batch_size=args.batch_size):
+        for stems in batch:
+            name = next(it)[: -len(".wav")]
+            outdir = os.path.join(args.out, name)
+            os.makedirs(outdir, exist_ok=True)
+            for sname, stem in zip(preset.sources, stems):
+                write_wav(os.path.join(outdir, f"{sname}.wav"), preset.transform.fs, stem)
+            done += 1
+    print(f"separated {done} tracks -> {args.out}")
+    return 0
+
+
 def _cmd_evaluate(args) -> int:
     import numpy as np
 
@@ -233,6 +273,15 @@ def main(argv=None) -> int:
     se.add_argument("-o", "--out", required=True)
     se.add_argument("--score", default=None, help="dir with <source>.notes.txt for score-informed runs")
     se.set_defaults(fn=_cmd_separate)
+
+    sb = sub.add_parser("separate-batch", help="stream a directory of wavs through batched separation")
+    sb.add_argument("--preset", required=True)
+    sb.add_argument("--params", required=True)
+    sb.add_argument("--input-dir", required=True)
+    sb.add_argument("-o", "--out", required=True)
+    sb.add_argument("--batch-size", type=int, default=4)
+    sb.add_argument("--mesh-data", type=int, default=1)
+    sb.set_defaults(fn=_cmd_separate_batch)
 
     ev = sub.add_parser("evaluate", help="BSS Eval SDR/SIR/SAR of estimated stems")
     ev.add_argument("--ref-dir", required=True)

@@ -15,7 +15,6 @@ from __future__ import annotations
 from typing import Iterator
 
 import grain.python as gp
-import numpy as np
 
 from convsep_tpu.data.pipeline import SegmentDataset
 

@@ -68,7 +68,11 @@ class StreamSeparator:
     def _bucket(self, batch: Sequence[np.ndarray]) -> tuple[np.ndarray, list[int]]:
         lengths = [len(t) for t in batch]
         Lb = bucket_length(max(lengths), self.preset)
-        stacked = np.zeros((len(batch), Lb), np.float32)
+        n = len(batch)
+        if self.mesh is not None:  # batch axis must divide the data axis
+            d = self.mesh.shape["data"]
+            n = -(-n // d) * d
+        stacked = np.zeros((n, Lb), np.float32)
         for i, t in enumerate(batch):
             stacked[i, : len(t)] = t
         return stacked, lengths

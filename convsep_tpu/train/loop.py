@@ -20,11 +20,10 @@ import json
 import os
 import time
 from functools import partial
-from typing import Any, Callable, Iterator
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from convsep_tpu.configs.presets import Preset

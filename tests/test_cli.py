@@ -149,3 +149,31 @@ def test_convert_roundtrip_cli(tmp_path):
     assert len(vals2) == len(vals)
     for a, b in zip(vals, vals2):
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_separate_batch_cli(audio_dir, tmp_path):
+    import pickle
+
+    from tests.test_convert import _random_reference_values
+
+    preset = _tiny_ikala()
+    vals = _random_reference_values(preset.model, np.random.default_rng(2))
+    pkl = str(tmp_path / "m.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(vals, f, protocol=2)
+    indir = str(tmp_path / "mixes")
+    os.makedirs(indir)
+    import shutil
+
+    for i in range(3):
+        shutil.copy(
+            os.path.join(audio_dir, f"track{i % 2}", "mixture.wav"),
+            os.path.join(indir, f"m{i}.wav"),
+        )
+    out = str(tmp_path / "out")
+    assert cli.main([
+        "separate-batch", "--preset", "tinyikala", "--params", pkl,
+        "--input-dir", indir, "-o", out, "--batch-size", "2", "--mesh-data", "4",
+    ]) == 0
+    assert sorted(os.listdir(out)) == ["m0", "m1", "m2"]
+    assert sorted(os.listdir(os.path.join(out, "m0"))) == ["accompaniment.wav", "vocals.wav"]

@@ -18,8 +18,10 @@ def test_make_mesh_shapes():
     assert mesh.shape == {"data": 4, "model": 2}
     mesh = make_mesh()
     assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+    mesh = make_mesh(data=3, model=2)  # subset of the 8 devices
+    assert mesh.shape == {"data": 3, "model": 2}
     with pytest.raises(ValueError):
-        make_mesh(data=3, model=2)
+        make_mesh(data=5, model=2)
 
 
 def test_halo_overlap_add_matches_single_device(rng):
