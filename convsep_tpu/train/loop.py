@@ -92,24 +92,41 @@ def make_train_step(
 
 
 class MetricsLogger:
-    """Structured per-step metrics → JSONL + stdout (SURVEY.md §5.5)."""
+    """Structured per-step metrics → JSONL + stdout (+ optional tensorboard)
+    (SURVEY.md §5.5)."""
 
-    def __init__(self, path: str | None = None, print_every: int = 50):
+    def __init__(
+        self, path: str | None = None, print_every: int = 50, tensorboard_dir: str | None = None
+    ):
         self.path = path
         self.print_every = print_every
         self._f = open(path, "a") if path else None
+        self._tb = None
+        if tensorboard_dir:
+            import tensorflow as tf  # optional, env-provided
+
+            self._tb = tf.summary.create_file_writer(tensorboard_dir)
 
     def log(self, **kv):
         if self._f:
             self._f.write(json.dumps(kv) + "\n")
             self._f.flush()
         step = kv.get("step", 0)
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in kv.items():
+                    if isinstance(v, (int, float)) and k != "step":
+                        tf.summary.scalar(k, v, step=step)
         if step % self.print_every == 0:
             print("  " + " ".join(f"{k}={v:.5g}" if isinstance(v, float) else f"{k}={v}" for k, v in kv.items()))
 
     def close(self):
         if self._f:
             self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class Trainer:
@@ -154,13 +171,15 @@ class Trainer:
         dataset: SegmentDataset,
         num_epochs: int | None = None,
         metrics_path: str | None = None,
+        tensorboard: bool = False,
     ) -> list[float]:
         """Run the epoch loop; returns per-epoch mean losses."""
         tr = self.preset.train
         num_epochs = tr.num_epochs if num_epochs is None else num_epochs
         if metrics_path is None and self.workdir:
             metrics_path = os.path.join(self.workdir, "metrics.jsonl")
-        logger = MetricsLogger(metrics_path)
+        tb_dir = os.path.join(self.workdir, "tb") if (tensorboard and self.workdir) else None
+        logger = MetricsLogger(metrics_path, tensorboard_dir=tb_dir)
         epoch_losses = []
         step = int(self.state.step)
         try:

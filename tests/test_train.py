@@ -127,3 +127,17 @@ def test_nan_free_training_with_interference_terms(feature_dir):
     trainer = Trainer(preset)
     losses = trainer.fit(_dataset(feature_dir, preset))
     assert np.isfinite(losses).all()
+
+
+def test_tensorboard_metrics(feature_dir, tmp_path):
+    pytest.importorskip("tensorflow")
+    preset = tiny_train_preset(num_epochs=1)
+    wd = str(tmp_path / "run")
+    trainer = Trainer(preset, workdir=wd)
+    trainer.fit(_dataset(feature_dir, preset), tensorboard=True)
+    import os
+
+    tb = os.path.join(wd, "tb")
+    assert os.path.isdir(tb) and any(
+        f.startswith("events") for f in os.listdir(tb)
+    )
