@@ -71,3 +71,38 @@ def test_stream_propagates_errors(setup):
     ss = StreamSeparator(preset, params)
     with pytest.raises(RuntimeError, match="source died"):
         list(ss.stream(bad(), batch_size=4))
+
+
+def test_sharded_single_track_matches_unsharded():
+    """One track sharded across 8 chips == unsharded fused separation."""
+    import dataclasses
+
+    from convsep_tpu.separate.sharded import ShardedSeparator
+
+    p = tiny_preset("ikala")
+    preset = dataclasses.replace(
+        p,
+        transform=dataclasses.replace(p.transform, fft_impl="matmul"),
+        sep=dataclasses.replace(p.sep, segment_bucket=8),
+    )
+    cfg = preset.model
+    params = ConvSep(cfg).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, cfg.time_context, cfg.feat_size, 1))
+    )
+    _, mix = sine_mixture(2, 12000, fs=8000, freqs=(220.0, 1400.0), seed=5)
+    want = Separator(preset, params)(mix)
+    mesh = make_mesh(data=8, model=1)
+    got = ShardedSeparator(preset, params, mesh)(mix)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_sharded_rejects_fft_impl():
+    import dataclasses
+
+    from convsep_tpu.separate.sharded import separate_track_sharded
+
+    p = tiny_preset("ikala")  # fft_impl='fft'
+    mesh = make_mesh(data=8, model=1)
+    with pytest.raises(ValueError, match="matmul"):
+        separate_track_sharded({}, jnp.zeros(8000), p, mesh, 8000)
