@@ -196,12 +196,11 @@ class Trainer:
                         and step % tr.checkpoint_every_steps == 0
                     ):
                         self._ckpt.save(step, self.state)
-                    if len(losses) >= 2:  # keep one step in flight, log lagged
-                        logger.log(
-                            step=step - 1,
-                            epoch=epoch,
-                            loss=float(losses[-2]),
-                        )
+                    # fetch lagged loss only every print_every steps — a
+                    # per-step host fetch costs an RPC that dwarfs the
+                    # ~13 ms step itself on tunneled runtimes
+                    if step % logger.print_every == 0 and len(losses) >= 2:
+                        logger.log(step=step - 1, epoch=epoch, loss=float(losses[-2]))
                 mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
                 epoch_losses.append(mean_loss)
                 logger.log(
