@@ -105,7 +105,8 @@ def _cmd_separate(args) -> int:
     fs, audio = read_wav(args.input)
     if fs != preset.transform.fs:
         raise ValueError(f"{args.input}: fs {fs} != preset fs {preset.transform.fs}")
-    if audio.ndim == 2:
+    stereo = audio.ndim == 2 and args.stereo
+    if audio.ndim == 2 and not stereo:
         audio = audio.mean(axis=1)
     extra = None
     if args.score:
@@ -122,11 +123,22 @@ def _cmd_separate(args) -> int:
         ) * preset.train.mult_factor_in
     # stems quantized to PCM16 on device — the wav precision, half the transfer
     sep = Separator(preset, params, output_dtype="int16")
-    stems = sep(audio, extra=extra)
     os.makedirs(args.out, exist_ok=True)
-    for name, stem in zip(preset.sources, stems):
-        write_wav(os.path.join(args.out, f"{name}.wav"), fs, stem)
-    print(f"wrote {len(stems)} stems -> {args.out}")
+    if stereo:
+        # per-channel separation through the same compiled program → stereo stems
+        left = sep(audio[:, 0], extra=extra)
+        right = sep(audio[:, 1], extra=extra)
+        for i, name in enumerate(preset.sources):
+            write_wav(
+                os.path.join(args.out, f"{name}.wav"),
+                fs,
+                np.stack([left[i], right[i]], axis=1),
+            )
+    else:
+        stems = sep(audio, extra=extra)
+        for name, stem in zip(preset.sources, stems):
+            write_wav(os.path.join(args.out, f"{name}.wav"), fs, stem)
+    print(f"wrote {len(preset.sources)} stems -> {args.out}")
     return 0
 
 
@@ -272,6 +284,7 @@ def main(argv=None) -> int:
     se.add_argument("-i", "--input", required=True)
     se.add_argument("-o", "--out", required=True)
     se.add_argument("--score", default=None, help="dir with <source>.notes.txt for score-informed runs")
+    se.add_argument("--stereo", action="store_true", help="separate channels independently → stereo stems (default: downmix to mono)")
     se.set_defaults(fn=_cmd_separate)
 
     sb = sub.add_parser("separate-batch", help="stream a directory of wavs through batched separation")

@@ -177,3 +177,30 @@ def test_separate_batch_cli(audio_dir, tmp_path):
     ]) == 0
     assert sorted(os.listdir(out)) == ["m0", "m1", "m2"]
     assert sorted(os.listdir(os.path.join(out, "m0"))) == ["accompaniment.wav", "vocals.wav"]
+
+
+def test_separate_stereo_flag(audio_dir, tmp_path):
+    import pickle
+
+    import scipy.io.wavfile as wavfile
+
+    from tests.test_convert import _random_reference_values
+
+    preset = _tiny_ikala()
+    vals = _random_reference_values(preset.model, np.random.default_rng(3))
+    pkl = str(tmp_path / "m.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(vals, f, protocol=2)
+    # build a stereo mixture wav
+    from convsep_tpu.data import sine_mixture, write_wav
+
+    stems, _ = sine_mixture(2, 2 * FS, fs=FS, seed=9)
+    stereo = np.stack([stems[0], stems[1]], axis=1)
+    p = str(tmp_path / "st.wav")
+    write_wav(p, FS, stereo)
+    out = str(tmp_path / "est")
+    assert cli.main([
+        "separate", "--preset", "tinyikala", "--params", pkl, "-i", p, "-o", out, "--stereo",
+    ]) == 0
+    fs, v = wavfile.read(os.path.join(out, "vocals.wav"))
+    assert v.ndim == 2 and v.shape[1] == 2 and v.dtype == np.int16
