@@ -71,7 +71,7 @@ def _cmd_train(args) -> int:
     if args.resume:
         step = trainer.restore()
         print(f"resumed from step {step}")
-    losses = trainer.fit(ds)
+    losses = trainer.fit(ds, tensorboard=args.tensorboard, use_grain=args.grain)
     print(f"done; epoch losses: {[round(l, 6) for l in losses]}")
     return 0
 
@@ -276,6 +276,8 @@ def main(argv=None) -> int:
     tr.add_argument("--resume", action="store_true")
     tr.add_argument("--score-informed", action="store_true")
     tr.add_argument("--mesh-data", type=int, default=1, help="data-parallel mesh size")
+    tr.add_argument("--grain", action="store_true", help="use the grain data loader")
+    tr.add_argument("--tensorboard", action="store_true")
     tr.set_defaults(fn=_cmd_train)
 
     se = sub.add_parser("separate", help="separate a mixture wav into stems")

@@ -172,6 +172,8 @@ class Trainer:
         num_epochs: int | None = None,
         metrics_path: str | None = None,
         tensorboard: bool = False,
+        use_grain: bool = False,
+        grain_workers: int = 0,
     ) -> list[float]:
         """Run the epoch loop; returns per-epoch mean losses."""
         tr = self.preset.train
@@ -186,7 +188,20 @@ class Trainer:
             for epoch in range(num_epochs):
                 t0 = time.perf_counter()
                 losses = []
-                batches = dataset.batches(tr.batch_size, shuffle=True, seed=tr.seed + epoch)
+                if use_grain:
+                    from convsep_tpu.data.grain_pipeline import make_loader
+
+                    batches = iter(
+                        make_loader(
+                            dataset,
+                            tr.batch_size,
+                            seed=tr.seed + epoch,
+                            num_epochs=1,
+                            worker_count=grain_workers,
+                        )
+                    )
+                else:
+                    batches = dataset.batches(tr.batch_size, shuffle=True, seed=tr.seed + epoch)
                 for x, y in prefetch_to_device(batches, sharding=self.batch_sharding):
                     self.state, loss = self.train_step(self.state, x, y)
                     step += 1

@@ -141,3 +141,10 @@ def test_tensorboard_metrics(feature_dir, tmp_path):
     assert os.path.isdir(tb) and any(
         f.startswith("events") for f in os.listdir(tb)
     )
+
+
+def test_fit_with_grain_loader(feature_dir):
+    preset = tiny_train_preset(num_epochs=2)
+    trainer = Trainer(preset)
+    losses = trainer.fit(_dataset(feature_dir, preset), use_grain=True)
+    assert len(losses) == 2 and np.isfinite(losses).all()
