@@ -47,27 +47,39 @@ def _cmd_train(args) -> int:
         preset = dataclasses.replace(
             preset, train=dataclasses.replace(preset.train, num_epochs=args.epochs)
         )
-    if args.score_informed:
-        extra = tuple(f"score_{s}" for s in preset.sources)
-    elif preset.transform.multires:
-        extra = tuple(f"res{size}" for size in preset.transform.multires)
+    if args.from_audio:
+        from convsep_tpu.data.audio_dataset import AudioSegmentDataset, segment_samples
+
+        seg = segment_samples(preset)
+        ds = AudioSegmentDataset(
+            args.features,
+            preset.sources,
+            seg,
+            overlap_samples=seg // 3,
+            fs=preset.transform.fs,
+        )
     else:
-        extra = ()
-    ds = SegmentDataset(
-        args.features,
-        preset.sources,
-        time_context=preset.train.time_context,
-        overlap=preset.train.overlap,
-        mult_factor_in=preset.train.mult_factor_in,
-        mult_factor_out=preset.train.mult_factor_out,
-        extra_channels=extra,
-    )
+        if args.score_informed:
+            extra = tuple(f"score_{s}" for s in preset.sources)
+        elif preset.transform.multires:
+            extra = tuple(f"res{size}" for size in preset.transform.multires)
+        else:
+            extra = ()
+        ds = SegmentDataset(
+            args.features,
+            preset.sources,
+            time_context=preset.train.time_context,
+            overlap=preset.train.overlap,
+            mult_factor_in=preset.train.mult_factor_in,
+            mult_factor_out=preset.train.mult_factor_out,
+            extra_channels=extra,
+        )
     mesh = None
     if args.mesh_data > 1:
         from convsep_tpu.distributed import make_mesh
 
         mesh = make_mesh(data=args.mesh_data)
-    trainer = Trainer(preset, workdir=args.workdir, mesh=mesh)
+    trainer = Trainer(preset, workdir=args.workdir, mesh=mesh, from_audio=args.from_audio)
     if args.resume:
         step = trainer.restore()
         print(f"resumed from step {step}")
@@ -277,6 +289,11 @@ def main(argv=None) -> int:
     tr.add_argument("--score-informed", action="store_true")
     tr.add_argument("--mesh-data", type=int, default=1, help="data-parallel mesh size")
     tr.add_argument("--grain", action="store_true", help="use the grain data loader")
+    tr.add_argument(
+        "--from-audio",
+        action="store_true",
+        help="train straight from <track>/<stem>.wav dirs (STFT inside the train step; --features is the audio dir)",
+    )
     tr.add_argument("--tensorboard", action="store_true")
     tr.set_defaults(fn=_cmd_train)
 

@@ -1,0 +1,76 @@
+"""End-to-end training from raw audio: STFT inside the jitted train step.
+
+SURVEY.md §1 "TPU-native restructuring implication": collapse the
+reference's L1–L4 into one XLA program per step. The step consumes raw
+audio segments (mixture (B, seg) + stems (B, S, seg)), runs the matmul-DFT
+STFT for all of them on the MXU, scales magnitudes, applies the CNN +
+Wiener mask, and takes the interference loss against the stem magnitudes —
+forward, backward, and adadelta update in a single donated-buffer program.
+No `.data` feature files, no host DSP.
+
+Segment length must be `audio_dataset.segment_samples(preset)` so the
+framing lands exactly on the model's time_context.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from convsep_tpu.configs.presets import Preset
+from convsep_tpu.data.audio_dataset import segment_samples
+from convsep_tpu.dsp.dft import stft_matmul
+from convsep_tpu.dsp.stft import scale_magnitude
+from convsep_tpu.dsp.windows import hann, sinebell
+from convsep_tpu.models.convsep import ConvSep
+from convsep_tpu.models.masks import wiener_filter
+from convsep_tpu.train.losses import interference_matrix, separation_loss
+from convsep_tpu.train.loop import TrainState
+
+
+def make_audio_train_step(
+    preset: Preset, opt: optax.GradientTransformation
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, jnp.ndarray]]:
+    """(state, mix (B, seg), stems (B, S, seg)) → (state, loss), one program."""
+    t, m, tr = preset.transform, preset.model, preset.train
+    win = (sinebell if t.window == "sinebell" else hann)(t.frame_size)
+    seg = segment_samples(preset)
+    model = ConvSep(m)
+    interf = interference_matrix(
+        m.num_sources,
+        alpha=tr.alpha,
+        beta=tr.beta,
+        beta_voc=tr.beta_voc,
+        vocals_idx=tr.vocals_idx,
+        other_idx=tr.other_idx,
+    )
+
+    def mag_of(audio):  # (..., seg) → (..., T, F) scaled magnitude
+        re, im = stft_matmul(audio, win, t.hop_size, t.nfft)
+        return scale_magnitude(jnp.sqrt(re * re + im * im), t.iscale)
+
+    def loss_fn(params, mix, stems):
+        B = mix.shape[0]
+        if mix.shape[-1] != seg:
+            raise ValueError(f"segment length {mix.shape[-1]} != required {seg}")
+        x = mag_of(mix) * tr.mult_factor_in  # (B, T, F)
+        y_t = (
+            mag_of(stems.reshape(-1, seg)).reshape(B, -1, m.time_context, m.feat_size)
+            * tr.mult_factor_out
+        ).transpose(0, 2, 3, 1)  # (B, T, F, S)
+        out = model.apply(params, x[..., None])
+        est = wiener_filter(out, x, eps=preset.sep.wiener_eps)
+        return separation_loss(est, y_t, interf)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, mix, stems):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, mix, stems)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=params, opt_state=opt_state), loss
+
+    return train_step

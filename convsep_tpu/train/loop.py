@@ -138,6 +138,7 @@ class Trainer:
         workdir: str | None = None,
         mesh=None,
         seed: int | None = None,
+        from_audio: bool = False,
     ):
         self.preset = preset
         self.workdir = workdir
@@ -146,7 +147,13 @@ class Trainer:
             jax.config.update("jax_debug_nans", True)
         seed = preset.train.seed if seed is None else seed
         self.state, self.opt = create_train_state(preset, seed)
-        self.train_step = make_train_step(preset, self.opt)
+        if from_audio:
+            # STFT inside the step — consumes AudioSegmentDataset batches
+            from convsep_tpu.train.e2e import make_audio_train_step
+
+            self.train_step = make_audio_train_step(preset, self.opt)
+        else:
+            self.train_step = make_train_step(preset, self.opt)
         self.batch_sharding = None
         if mesh is not None:
             self.batch_sharding = batch_sharding(mesh, 4)

@@ -204,3 +204,12 @@ def test_separate_stereo_flag(audio_dir, tmp_path):
     ]) == 0
     fs, v = wavfile.read(os.path.join(out, "vocals.wav"))
     assert v.ndim == 2 and v.shape[1] == 2 and v.dtype == np.int16
+
+
+def test_train_from_audio_cli(audio_dir, tmp_path):
+    wd = str(tmp_path / "run")
+    assert cli.main([
+        "train", "--preset", "tinyikala", "--features", audio_dir,
+        "--workdir", wd, "--epochs", "1", "--from-audio",
+    ]) == 0
+    assert os.path.isdir(os.path.join(wd, "checkpoints"))
