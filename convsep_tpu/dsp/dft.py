@@ -75,8 +75,15 @@ def _stft_matmul_impl(signal, cos_m, sin_m, hop, nfft, win_len):
     nf = num_frames(signal.shape[-1], hop)
     padded = _pad_signal(signal, win_len, hop)
     frames = frame_signal(padded, win_len, hop, nf)  # (..., nf, W) — no window
-    re = jnp.matmul(frames, cos_m, preferred_element_type=jnp.float32)
-    im = jnp.matmul(frames, sin_m, preferred_element_type=jnp.float32)
+    # HIGHEST: TPU fp32 matmuls default to a bf16x3 decomposition whose
+    # error (~3e-3 max on audio-scale signals) would dominate the DSP
+    # fidelity budget; these matmuls are a tiny fraction of pipeline FLOPs.
+    re = jnp.matmul(
+        frames, cos_m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+    im = jnp.matmul(
+        frames, sin_m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
     return re, im
 
 
@@ -98,8 +105,10 @@ def stft_matmul(
 
 @partial(jax.jit, static_argnames=("hop", "length", "win_len"))
 def _istft_matmul_impl(re, im, inv_a, inv_b, inv_norm, hop, length, win_len):
-    frames = jnp.matmul(re, inv_a, preferred_element_type=jnp.float32) + jnp.matmul(
-        im, inv_b, preferred_element_type=jnp.float32
+    frames = jnp.matmul(
+        re, inv_a, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    ) + jnp.matmul(
+        im, inv_b, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
     )  # (..., nf, W), synthesis window already folded in
     data = overlap_add(frames, hop) * inv_norm
     front = win_len // 2

@@ -32,17 +32,25 @@ _BLOCK_FRAMES = 16
 
 
 def _kernel(re_ref, im_ref, inv_a_ref, inv_b_ref, body_ref, spill_ref, *, R, H, k, W):
+    # all 2-D (Mosaic kernels must avoid rank-changing vector reshapes)
     frames = jnp.dot(
-        re_ref[:], inv_a_ref[:], preferred_element_type=jnp.float32
-    ) + jnp.dot(im_ref[:], inv_b_ref[:], preferred_element_type=jnp.float32)  # (R, W)
-    sub = frames.reshape(R, k, H)
-    # local OLA over R+k-1 hop blocks: out[j] = sum_i sub[j-i, i]
-    n_local = R + k - 1
-    acc = jnp.zeros((n_local, H), jnp.float32)
+        re_ref[:], inv_a_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) + jnp.dot(
+        im_ref[:], inv_b_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (R, W)
+    # local OLA over R+k-1 hop blocks: out[j] = sum_i frames[j-i, i*H:(i+1)*H].
+    # acc is padded to R+8 rows so the spill block is a full aligned 8-row
+    # tile (Mosaic requires block dims divisible by (8, 128)); rows beyond
+    # k-1 stay zero.
+    # shifted pad-and-adds (`.at[].add` would lower to scatter-add, which
+    # Mosaic does not implement)
+    acc = jnp.zeros((R + 8, H), jnp.float32)
     for i in range(k):
-        acc = acc.at[i : i + R].add(sub[:, i, :])
+        acc = acc + jnp.pad(frames[:, i * H : (i + 1) * H], ((i, 8 - i), (0, 0)))
     body_ref[:] = acc[:R]
-    spill_ref[:] = acc[R:].reshape(1, (k - 1) * H)
+    spill_ref[:] = acc[R : R + 8]
 
 
 @partial(jax.jit, static_argnames=("hop", "length", "win_len", "nfft", "interpret"))
@@ -69,11 +77,11 @@ def _istft_pallas_impl(re, im, inv_a, inv_b, inv_norm, hop, length, win_len, nff
         ],
         out_specs=(
             pl.BlockSpec((R, H), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, (k - 1) * H), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, H), lambda j: (j, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_blocks * R, H), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, (k - 1) * H), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * 8, H), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * n_blocks * R * W * bins,
@@ -84,7 +92,8 @@ def _istft_pallas_impl(re, im, inv_a, inv_b, inv_norm, hop, length, win_len, nff
     )(re, im, inv_a, inv_b)
 
     # fold each program's spill into the head of the next program's body
-    spill_rows = spill.reshape(n_blocks, k - 1, H)
+    # (reshapes below run in XLA, outside the Mosaic kernel)
+    spill_rows = spill.reshape(n_blocks, 8, H)[:, : k - 1, :]
     pad_spill = jnp.pad(spill_rows, ((1, 0), (0, 0), (0, 0)))[:-1]  # shift down one block
     body = body.reshape(n_blocks, R, H)
     body = body.at[:, : k - 1, :].add(pad_spill)
@@ -116,6 +125,8 @@ def istft_pallas(
         raise ValueError(f"istft_pallas expects (frames, bins), got {re.shape}")
     if win_len % hop != 0:
         raise ValueError(f"pallas istft requires win % hop == 0, got {win_len}/{hop}")
+    if win_len // hop > 9:
+        raise ValueError("pallas istft supports win/hop ratios up to 9 (8-row spill tile)")
     if analysis_window is None:
         analysis_window = window
     if nfft is None:

@@ -33,18 +33,29 @@ _BLOCK_FRAMES = 16
 
 
 def _kernel(sig_hbm, cos_ref, sin_ref, re_ref, im_ref, scratch, sem, *, R, H, k, W):
+    # signal arrives hop-blocked 2-D (n_blocks_total, H): Mosaic kernels must
+    # avoid rank-changing vector reshapes, so all ops here stay 2-D.
     j = pl.program_id(0)
-    start = j * R * H
-    # contiguous chunk covering R overlapping frames: (R-1)*H + W = (R+k-1)*H
-    dma = pltpu.make_async_copy(
-        sig_hbm.at[pl.ds(start, (R + k - 1) * H)], scratch, sem
-    )
+    start = j * R
+    # rows covering R overlapping frames: frame r = rows [r, r+k).
+    # DMA row counts must align to the 8-row sublane tile, so the halo is
+    # rounded up (EXTRA) and the signal pre-padded accordingly.
+    extra = -(-(k - 1) // 8) * 8
+    dma = pltpu.make_async_copy(sig_hbm.at[pl.ds(start, R + extra), :], scratch, sem)
     dma.start()
     dma.wait()
-    blocks = scratch[:].reshape(R + k - 1, H)
-    frames = jnp.concatenate([blocks[i : i + R] for i in range(k)], axis=1)  # (R, W)
-    re_ref[:] = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
-    im_ref[:] = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
+    blocks = scratch[:]
+    # frames @ DFT == sum_i blocks[i:i+R] @ DFT[i*H:(i+1)*H] — k partial
+    # matmuls instead of materializing frames (Mosaic also cannot concat
+    # slices with mismatched sublane offsets)
+    re = jnp.zeros(re_ref.shape, jnp.float32)
+    im = jnp.zeros(im_ref.shape, jnp.float32)
+    for i in range(k):
+        b = blocks[i : i + R]
+        re = re + jnp.dot(b, cos_ref[i * H : (i + 1) * H, :], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        im = im + jnp.dot(b, sin_ref[i * H : (i + 1) * H, :], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    re_ref[:] = re
+    im_ref[:] = im
 
 
 @partial(jax.jit, static_argnames=("hop", "nfft", "win_len", "n_frames", "interpret"))
@@ -54,10 +65,13 @@ def _stft_pallas_impl(padded, cos_m, sin_m, hop, nfft, win_len, n_frames, interp
     R = _BLOCK_FRAMES
     n_blocks = -(-n_frames // R)  # cdiv
     bins = nfft // 2 + 1
-    # pad the signal so the last program's chunk is in-bounds
-    need = n_blocks * R * H + (k - 1) * H
+    # pad the signal so the last program's chunk is in-bounds, then
+    # hop-block it to 2-D on the XLA side (free reshape there)
+    extra = -(-(k - 1) // 8) * 8  # DMA halo rounded to the 8-row tile
+    need = (n_blocks * R + extra) * H
     if padded.shape[-1] < need:
         padded = jnp.pad(padded, (0, need - padded.shape[-1]))
+    sig2d = padded[:need].reshape(-1, H)
 
     re, im = pl.pallas_call(
         partial(_kernel, R=R, H=H, k=k, W=W),
@@ -76,7 +90,7 @@ def _stft_pallas_impl(padded, cos_m, sin_m, hop, nfft, win_len, n_frames, interp
             jax.ShapeDtypeStruct((n_blocks * R, bins), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM(((R + k - 1) * H,), jnp.float32),
+            pltpu.VMEM((R + extra, H), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(
@@ -85,7 +99,7 @@ def _stft_pallas_impl(padded, cos_m, sin_m, hop, nfft, win_len, n_frames, interp
             transcendentals=0,
         ),
         interpret=interpret,
-    )(padded, cos_m, sin_m)
+    )(sig2d, cos_m, sin_m)
     return re[:n_frames], im[:n_frames]
 
 

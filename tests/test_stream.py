@@ -106,3 +106,26 @@ def test_sharded_rejects_fft_impl():
     mesh = make_mesh(data=8, model=1)
     with pytest.raises(ValueError, match="matmul"):
         separate_track_sharded({}, jnp.zeros(8000), p, mesh, 8000)
+
+
+def test_sharded_separator_various_mesh_shapes():
+    import dataclasses
+
+    from convsep_tpu.separate.sharded import ShardedSeparator
+
+    p = tiny_preset("ikala")
+    preset = dataclasses.replace(
+        p,
+        transform=dataclasses.replace(p.transform, fft_impl="matmul"),
+        sep=dataclasses.replace(p.sep, segment_bucket=8),
+    )
+    cfg = preset.model
+    params = ConvSep(cfg).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, cfg.time_context, cfg.feat_size, 1))
+    )
+    _, mix = sine_mixture(2, 10000, fs=8000, freqs=(220.0, 1400.0), seed=6)
+    want = Separator(preset, params)(mix)
+    for d in (2, 4):
+        mesh = make_mesh(data=d, model=1)
+        got = ShardedSeparator(preset, params, mesh)(mix)
+        np.testing.assert_allclose(got, want, atol=2e-4)
