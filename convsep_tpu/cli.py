@@ -83,7 +83,19 @@ def _cmd_train(args) -> int:
     if args.resume:
         step = trainer.restore()
         print(f"resumed from step {step}")
-    losses = trainer.fit(ds, tensorboard=args.tensorboard, use_grain=args.grain)
+    val_ds = None
+    if args.val_features:
+        val_ds = SegmentDataset(
+            args.val_features,
+            preset.sources,
+            time_context=preset.train.time_context,
+            overlap=preset.train.overlap,
+            mult_factor_in=preset.train.mult_factor_in,
+            mult_factor_out=preset.train.mult_factor_out,
+        )
+    losses = trainer.fit(
+        ds, tensorboard=args.tensorboard, use_grain=args.grain, val_dataset=val_ds
+    )
     print(f"done; epoch losses: {[round(l, 6) for l in losses]}")
     return 0
 
@@ -295,6 +307,7 @@ def main(argv=None) -> int:
         help="train straight from <track>/<stem>.wav dirs (STFT inside the train step; --features is the audio dir)",
     )
     tr.add_argument("--tensorboard", action="store_true")
+    tr.add_argument("--val-features", default=None, help="feature dir for per-epoch validation loss")
     tr.set_defaults(fn=_cmd_train)
 
     se = sub.add_parser("separate", help="separate a mixture wav into stems")

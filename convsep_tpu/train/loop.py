@@ -91,6 +91,29 @@ def make_train_step(
     return train_step
 
 
+def make_eval_step(preset: Preset) -> Callable:
+    """Jitted loss-only step (no update) sharing make_train_step's loss."""
+    cfg = preset.model
+    tr = preset.train
+    model = ConvSep(cfg)
+    interf = interference_matrix(
+        cfg.num_sources,
+        alpha=tr.alpha,
+        beta=tr.beta,
+        beta_voc=tr.beta_voc,
+        vocals_idx=tr.vocals_idx,
+        other_idx=tr.other_idx,
+    )
+
+    @jax.jit
+    def eval_step(params, x, y):
+        out = model.apply(params, x)
+        est = wiener_filter(out, x[..., 0], p=1.0, eps=preset.sep.wiener_eps)
+        return separation_loss(est, y, interf)
+
+    return eval_step
+
+
 class MetricsLogger:
     """Structured per-step metrics → JSONL + stdout (+ optional tensorboard)
     (SURVEY.md §5.5)."""
@@ -154,6 +177,7 @@ class Trainer:
             self.train_step = make_audio_train_step(preset, self.opt)
         else:
             self.train_step = make_train_step(preset, self.opt)
+        self._eval_step = None
         self.batch_sharding = None
         if mesh is not None:
             self.batch_sharding = batch_sharding(mesh, 4)
@@ -173,6 +197,20 @@ class Trainer:
                 self.state = state
         return int(self.state.step)
 
+    def evaluate(self, dataset: SegmentDataset, max_batches: int | None = None) -> float:
+        """Mean loss over a (validation) dataset without updating params
+        (reference behavior: monitoring the test split — SURVEY.md §3.2)."""
+        if self._eval_step is None:
+            self._eval_step = make_eval_step(self.preset)
+        losses = []
+        for i, (x, y) in enumerate(
+            dataset.batches(self.preset.train.batch_size, shuffle=False)
+        ):
+            if max_batches is not None and i >= max_batches:
+                break
+            losses.append(self._eval_step(self.state.params, jnp.asarray(x), jnp.asarray(y)))
+        return float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+
     def fit(
         self,
         dataset: SegmentDataset,
@@ -181,6 +219,7 @@ class Trainer:
         tensorboard: bool = False,
         use_grain: bool = False,
         grain_workers: int = 0,
+        val_dataset: SegmentDataset | None = None,
     ) -> list[float]:
         """Run the epoch loop; returns per-epoch mean losses."""
         tr = self.preset.train
@@ -225,12 +264,15 @@ class Trainer:
                         logger.log(step=step - 1, epoch=epoch, loss=float(losses[-2]))
                 mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
                 epoch_losses.append(mean_loss)
-                logger.log(
+                epoch_kv = dict(
                     step=step,
                     epoch=epoch,
                     epoch_loss=mean_loss,
                     epoch_seconds=time.perf_counter() - t0,
                 )
+                if val_dataset is not None:
+                    epoch_kv["val_loss"] = self.evaluate(val_dataset)
+                logger.log(**epoch_kv)
                 if self._ckpt is not None:
                     self._ckpt.save(step, self.state)
         finally:

@@ -148,3 +148,20 @@ def test_fit_with_grain_loader(feature_dir):
     trainer = Trainer(preset)
     losses = trainer.fit(_dataset(feature_dir, preset), use_grain=True)
     assert len(losses) == 2 and np.isfinite(losses).all()
+
+
+def test_validation_loss_logged(feature_dir, tmp_path):
+    import json
+    import os
+
+    preset = tiny_train_preset(num_epochs=2)
+    wd = str(tmp_path / "run")
+    trainer = Trainer(preset, workdir=wd)
+    ds = _dataset(feature_dir, preset)
+    trainer.fit(ds, val_dataset=ds)
+    records = [json.loads(l) for l in open(os.path.join(wd, "metrics.jsonl"))]
+    vals = [r["val_loss"] for r in records if "val_loss" in r]
+    assert len(vals) == 2 and np.isfinite(vals).all()
+    # evaluate() standalone
+    v = trainer.evaluate(ds, max_batches=2)
+    assert np.isfinite(v)
