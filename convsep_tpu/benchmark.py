@@ -99,7 +99,7 @@ def run_benchmark(
     # across the whole batch, not just overlapped.
     from convsep_tpu.separate.stream import separate_batch
 
-    B = 4
+    B = 8
     batch = jnp.stack([jnp.asarray(host_audio + np.float32(i) * 1e-6) for i in range(B)])
 
     def fused_batch(tracks):
