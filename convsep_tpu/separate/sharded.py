@@ -38,12 +38,14 @@ def _window(preset: Preset) -> np.ndarray:
     )
 
 
+@partial(jax.jit, static_argnames=("preset", "mesh", "length", "apply_fn"))
 def separate_track_sharded(params, audio, preset: Preset, mesh, length: int, apply_fn=None):
     """(length,) mixture → (S, length) stems with the segment/frame axes
     sharded over `mesh`'s data axis. matmul fft_impl only.
 
     Requires the bucketed segment count to be divisible by the data axis
-    (segment_bucket ≥ mesh size guarantees it).
+    (segment_bucket ≥ mesh size guarantees it). `preset`/`mesh`/`length`
+    are static — one compile per (preset, mesh, bucketed length).
     """
     t, m, tr = preset.transform, preset.model, preset.train
     if t.fft_impl != "matmul":
@@ -53,7 +55,6 @@ def separate_track_sharded(params, audio, preset: Preset, mesh, length: int, app
     hop = t.hop_size
     W = t.frame_size
 
-    @partial(jax.jit, static_argnames=())
     def run(params, audio):
         re, im = stft_matmul(audio, win, hop, t.nfft)  # replicated (cheap)
         nf = re.shape[0]
@@ -93,6 +94,8 @@ def separate_track_sharded(params, audio, preset: Preset, mesh, length: int, app
         return data[:, front : front + length]
 
     return run(params, audio)
+
+
 
 
 class ShardedSeparator:
