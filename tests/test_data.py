@@ -136,3 +136,29 @@ def test_prefetch_propagates_errors():
     next(it)
     with pytest.raises(RuntimeError, match="boom"):
         list(it)
+
+
+def test_read_wav_other_dtypes(tmp_path, rng):
+    from scipy.io import wavfile
+
+    x32 = (rng.standard_normal(1000) * 2**30).astype(np.int32)
+    wavfile.write(tmp_path / "i32.wav", 8000, x32)
+    fs, a = read_wav(tmp_path / "i32.wav")
+    assert a.dtype == np.float32 and np.abs(a).max() <= 1.0
+    xf = rng.standard_normal(1000).astype(np.float32)
+    wavfile.write(tmp_path / "f32.wav", 8000, xf)
+    _, b = read_wav(tmp_path / "f32.wav")
+    np.testing.assert_allclose(b, xf, atol=1e-7)
+    x8 = (rng.integers(0, 256, 1000)).astype(np.uint8)
+    wavfile.write(tmp_path / "u8.wav", 8000, x8)
+    _, c = read_wav(tmp_path / "u8.wav")
+    assert np.abs(c).max() <= 1.0
+
+
+def test_write_wav_int16_passthrough(tmp_path):
+    from scipy.io import wavfile
+
+    x = np.array([-32768, 0, 32767], np.int16)
+    write_wav(tmp_path / "p.wav", 8000, x)
+    _, y = wavfile.read(tmp_path / "p.wav")
+    np.testing.assert_array_equal(y, x)

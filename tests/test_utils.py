@@ -29,3 +29,12 @@ def test_trace_writes_files(tmp_path):
 def test_enable_compilation_cache(tmp_path):
     p = enable_compilation_cache(str(tmp_path / "cache"))
     assert os.path.isdir(p)
+
+
+def test_benchmark_rejects_multichannel_preset():
+    import pytest
+
+    from convsep_tpu.benchmark import run_benchmark
+
+    with pytest.raises(ValueError, match="single-channel"):
+        run_benchmark("bach10", seconds=0.1, runs=1)
