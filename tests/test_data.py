@@ -141,7 +141,7 @@ def test_prefetch_propagates_errors():
 def test_read_wav_other_dtypes(tmp_path, rng):
     from scipy.io import wavfile
 
-    x32 = (rng.standard_normal(1000) * 2**30).astype(np.int32)
+    x32 = np.clip(rng.standard_normal(1000) * 2**30, -(2**31), 2**31 - 1).astype(np.int32)
     wavfile.write(tmp_path / "i32.wav", 8000, x32)
     fs, a = read_wav(tmp_path / "i32.wav")
     assert a.dtype == np.float32 and np.abs(a).max() <= 1.0
