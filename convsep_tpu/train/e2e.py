@@ -32,10 +32,8 @@ from convsep_tpu.train.losses import interference_matrix, separation_loss
 from convsep_tpu.train.loop import TrainState
 
 
-def make_audio_train_step(
-    preset: Preset, opt: optax.GradientTransformation
-) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, jnp.ndarray]]:
-    """(state, mix (B, seg), stems (B, S, seg)) → (state, loss), one program."""
+def make_audio_loss_fn(preset: Preset) -> Callable:
+    """(params, mix (B, seg), stems (B, S, seg)) → loss; STFT on device."""
     t, m, tr = preset.transform, preset.model, preset.train
     win = (sinebell if t.window == "sinebell" else hann)(t.frame_size)
     seg = segment_samples(preset)
@@ -65,6 +63,15 @@ def make_audio_train_step(
         out = model.apply(params, x[..., None])
         est = wiener_filter(out, x, eps=preset.sep.wiener_eps)
         return separation_loss(est, y_t, interf)
+
+    return loss_fn
+
+
+def make_audio_train_step(
+    preset: Preset, opt: optax.GradientTransformation
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, jnp.ndarray]]:
+    """(state, mix (B, seg), stems (B, S, seg)) → (state, loss), one program."""
+    loss_fn = make_audio_loss_fn(preset)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, mix, stems):

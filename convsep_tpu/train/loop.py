@@ -91,8 +91,12 @@ def make_train_step(
     return train_step
 
 
-def make_eval_step(preset: Preset) -> Callable:
+def make_eval_step(preset: Preset, from_audio: bool = False) -> Callable:
     """Jitted loss-only step (no update) sharing make_train_step's loss."""
+    if from_audio:
+        from convsep_tpu.train.e2e import make_audio_loss_fn
+
+        return jax.jit(make_audio_loss_fn(preset))
     cfg = preset.model
     tr = preset.train
     model = ConvSep(cfg)
@@ -170,6 +174,7 @@ class Trainer:
             jax.config.update("jax_debug_nans", True)
         seed = preset.train.seed if seed is None else seed
         self.state, self.opt = create_train_state(preset, seed)
+        self.from_audio = from_audio
         if from_audio:
             # STFT inside the step — consumes AudioSegmentDataset batches
             from convsep_tpu.train.e2e import make_audio_train_step
@@ -199,9 +204,10 @@ class Trainer:
 
     def evaluate(self, dataset: SegmentDataset, max_batches: int | None = None) -> float:
         """Mean loss over a (validation) dataset without updating params
-        (reference behavior: monitoring the test split — SURVEY.md §3.2)."""
+        (reference behavior: monitoring the test split — SURVEY.md §3.2).
+        In from_audio mode the dataset must be an AudioSegmentDataset."""
         if self._eval_step is None:
-            self._eval_step = make_eval_step(self.preset)
+            self._eval_step = make_eval_step(self.preset, from_audio=self.from_audio)
         losses = []
         for i, (x, y) in enumerate(
             dataset.batches(self.preset.train.batch_size, shuffle=False)

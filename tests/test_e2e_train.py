@@ -81,3 +81,15 @@ def test_adadelta_used(preset):
     state, opt = create_train_state(preset, 0)
     assert isinstance(opt, optax.GradientTransformation)
     assert type(opt.init(jnp.zeros(3))).__name__ == "AdadeltaState"
+
+
+def test_from_audio_trainer_with_grain_and_validation(audio_root, preset):
+    from convsep_tpu.train.loop import Trainer
+
+    seg = segment_samples(preset)
+    ds = AudioSegmentDataset(audio_root, ("vocals", "accompaniment"), seg, fs=FS)
+    trainer = Trainer(preset, from_audio=True)
+    losses = trainer.fit(ds, num_epochs=2, use_grain=True, val_dataset=ds)
+    assert len(losses) == 2 and np.isfinite(losses).all()
+    v = trainer.evaluate(ds, max_batches=2)
+    assert np.isfinite(v)
