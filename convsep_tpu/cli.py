@@ -124,7 +124,13 @@ def _cmd_separate(args) -> int:
     from convsep_tpu.data.io import read_wav, write_wav
     from convsep_tpu.separate import Separator
 
+    import dataclasses
+
     preset = get_preset(args.preset)
+    if args.wiener_p is not None:
+        preset = dataclasses.replace(
+            preset, sep=dataclasses.replace(preset.sep, wiener_p=args.wiener_p)
+        )
     params = _load_params(args.params, preset)
     fs, audio = read_wav(args.input)
     if fs != preset.transform.fs:
@@ -317,6 +323,7 @@ def main(argv=None) -> int:
     se.add_argument("-o", "--out", required=True)
     se.add_argument("--score", default=None, help="dir with <source>.notes.txt for score-informed runs")
     se.add_argument("--stereo", action="store_true", help="separate channels independently → stereo stems (default: downmix to mono)")
+    se.add_argument("--wiener-p", type=float, default=None, help="generalized Wiener exponent (default: preset, 1.0; 2.0 = classic Wiener)")
     se.set_defaults(fn=_cmd_separate)
 
     sb = sub.add_parser("separate-batch", help="stream a directory of wavs through batched separation")
