@@ -96,14 +96,15 @@ def run_benchmark(
 
     # batched sustained: B tracks in ONE program dispatch (StreamSeparator's
     # production path, BASELINE config #4) — per-dispatch overhead amortized
-    # across the whole batch, not just overlapped.
-    from convsep_tpu.separate.stream import separate_batch
+    # across the whole batch. lax.map (sequential-in-dispatch) keeps memory
+    # at single-track working set and compiles the body once.
+    from convsep_tpu.separate.stream import separate_batch_scan
 
-    B = 8
+    B = 16
     batch = jnp.stack([jnp.asarray(host_audio + np.float32(i) * 1e-6) for i in range(B)])
 
     def fused_batch(tracks):
-        return separate_batch(params, tracks, preset, Lb, None, "int16")
+        return separate_batch_scan(params, tracks, preset, Lb, None, "int16")
 
     out_b = fused_batch(batch)
     np.asarray(out_b[:, :, :8])

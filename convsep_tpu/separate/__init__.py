@@ -1,7 +1,11 @@
 """Separation (inference) layer: fused whole-track and batched streaming."""
 
 from convsep_tpu.separate.pipeline import Separator, separate_fused, bucket_length
-from convsep_tpu.separate.stream import StreamSeparator, separate_batch
+from convsep_tpu.separate.stream import (
+    StreamSeparator,
+    separate_batch,
+    separate_batch_scan,
+)
 
 __all__ = [
     "Separator",
@@ -9,4 +13,5 @@ __all__ = [
     "bucket_length",
     "StreamSeparator",
     "separate_batch",
+    "separate_batch_scan",
 ]

@@ -42,6 +42,29 @@ def separate_batch(
     )(tracks)
 
 
+@partial(jax.jit, static_argnames=("preset", "length", "apply_fn", "output_dtype"))
+def separate_batch_scan(
+    params,
+    tracks: jnp.ndarray,
+    preset: Preset,
+    length: int,
+    apply_fn=None,
+    output_dtype: str = "float32",
+) -> jnp.ndarray:
+    """(B, length) → (B, S, length) like separate_batch, but tracks run
+    SEQUENTIALLY inside one dispatch (`lax.map`).
+
+    Single-track working-set memory (the vmap variant's peak scales with B —
+    B=32 OOMs a v5e) and the loop body compiles once, so compile time stays
+    at single-track cost. Prefer this on one chip; use `separate_batch`
+    (vmap) when the batch axis is sharded over a mesh.
+    """
+    return jax.lax.map(
+        lambda a: separate_fused(params, a, None, preset, length, apply_fn, output_dtype),
+        tracks,
+    )
+
+
 class StreamSeparator:
     """Stream many tracks through mesh-sharded fused separation.
 
@@ -77,12 +100,17 @@ class StreamSeparator:
             stacked[i, : len(t)] = t
         return stacked, lengths
 
+    def _batch_fn(self):
+        # vmap partitions across a sharded mesh batch axis; on one device
+        # lax.map wins (single-track memory, body compiled once)
+        return separate_batch if self.mesh is not None else separate_batch_scan
+
     def separate_many(self, tracks: Sequence[np.ndarray]) -> list[np.ndarray]:
         """Separate a list of mono tracks → list of (S, len_i) stems."""
         stacked, lengths = self._bucket(tracks)
         sharding = batch_sharding(self.mesh, 2) if self.mesh is not None else None
         dev = jax.device_put(jnp.asarray(stacked), sharding)
-        out = separate_batch(
+        out = self._batch_fn()(
             self.params, dev, self.preset, stacked.shape[1], self.apply_fn, self.output_dtype
         )
         out = np.asarray(out)
@@ -127,7 +155,7 @@ class StreamSeparator:
                 raise item
             dev, lengths = item
             out = np.asarray(
-                separate_batch(
+                self._batch_fn()(
                     self.params, dev, self.preset, dev.shape[1], self.apply_fn, self.output_dtype
                 )
             )

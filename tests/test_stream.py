@@ -129,3 +129,18 @@ def test_sharded_separator_various_mesh_shapes():
         mesh = make_mesh(data=d, model=1)
         got = ShardedSeparator(preset, params, mesh)(mix)
         np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_separate_batch_scan_matches_vmap(setup):
+    from convsep_tpu.separate.stream import separate_batch, separate_batch_scan
+    from convsep_tpu.separate import bucket_length
+
+    preset, params = setup
+    tracks = _tracks(3)
+    Lb = bucket_length(max(len(t) for t in tracks), preset)
+    stacked = np.zeros((3, Lb), np.float32)
+    for i, t in enumerate(tracks):
+        stacked[i, : len(t)] = t
+    a = np.asarray(separate_batch(params, jnp.asarray(stacked), preset, Lb))
+    b = np.asarray(separate_batch_scan(params, jnp.asarray(stacked), preset, Lb))
+    np.testing.assert_allclose(b, a, atol=1e-5)
