@@ -15,11 +15,16 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(self, directory: str, max_to_keep: int = 3, async_save: bool = True):
+        """`async_save=False` forces synchronous writes — slower epochs but
+        no background save to wedge on flaky device→host links
+        (ROADMAP.md #8)."""
         self._mgr = ocp.CheckpointManager(
             os.path.abspath(directory),
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=True
+                max_to_keep=max_to_keep,
+                create=True,
+                enable_async_checkpointing=async_save,
             ),
         )
 

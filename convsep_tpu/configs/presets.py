@@ -64,6 +64,9 @@ class TrainConfig:
     time_context: int = 30
     overlap: int = 20  # training segment overlap in frames
     checkpoint_every_steps: int = 500
+    # False → checkpoint {step, params} only: 3× fewer bytes (adadelta keeps
+    # two slots per param); resume restarts the optimizer accumulators
+    checkpoint_optimizer_state: bool = True
     seed: int = 0
     # test-mode numerics tripwire (SURVEY.md §5.2): raise on NaN in any
     # jitted computation for the session

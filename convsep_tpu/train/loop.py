@@ -194,12 +194,27 @@ class Trainer:
 
             self._ckpt = CheckpointManager(os.path.join(workdir, "checkpoints"))
 
+    def _save_view(self):
+        """What gets checkpointed (full state, or params-only when
+        configured — 3× fewer bytes over slow links)."""
+        if self.preset.train.checkpoint_optimizer_state:
+            return self.state
+        return {"step": self.state.step, "params": self.state.params}
+
+    def _save(self, step: int) -> None:
+        self._ckpt.save(step, self._save_view())
+
     def restore(self) -> int:
         """Resume from the latest checkpoint if present; returns the step."""
         if self._ckpt is not None:
-            state = self._ckpt.restore_latest(self.state)
-            if state is not None:
-                self.state = state
+            restored = self._ckpt.restore_latest(self._save_view())
+            if restored is not None:
+                if self.preset.train.checkpoint_optimizer_state:
+                    self.state = restored
+                else:  # optimizer accumulators restart from zero
+                    self.state = dataclasses.replace(
+                        self.state, step=restored["step"], params=restored["params"]
+                    )
         return int(self.state.step)
 
     def evaluate(self, dataset: SegmentDataset, max_batches: int | None = None) -> float:
@@ -262,7 +277,7 @@ class Trainer:
                         self._ckpt is not None
                         and step % tr.checkpoint_every_steps == 0
                     ):
-                        self._ckpt.save(step, self.state)
+                        self._save(step)
                     # fetch lagged loss only every print_every steps — a
                     # per-step host fetch costs an RPC that dwarfs the
                     # ~13 ms step itself on tunneled runtimes
@@ -280,7 +295,7 @@ class Trainer:
                     epoch_kv["val_loss"] = self.evaluate(val_dataset)
                 logger.log(**epoch_kv)
                 if self._ckpt is not None:
-                    self._ckpt.save(step, self.state)
+                    self._save(step)
         finally:
             if self._ckpt is not None:
                 self._ckpt.wait()

@@ -165,3 +165,17 @@ def test_validation_loss_logged(feature_dir, tmp_path):
     # evaluate() standalone
     v = trainer.evaluate(ds, max_batches=2)
     assert np.isfinite(v)
+
+
+def test_params_only_checkpointing(feature_dir, tmp_path):
+    preset = tiny_train_preset(num_epochs=1, checkpoint_optimizer_state=False)
+    wd = str(tmp_path / "run")
+    t1 = Trainer(preset, workdir=wd)
+    t1.fit(_dataset(feature_dir, preset))
+    step1 = int(t1.state.step)
+    t2 = Trainer(preset, workdir=wd)
+    assert t2.restore() == step1
+    for a, b in zip(jax.tree.leaves(t1.state.params), jax.tree.leaves(t2.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer accumulators restarted
+    assert all((np.asarray(x) == 0).all() for x in jax.tree.leaves(t2.state.opt_state))
