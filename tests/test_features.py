@@ -63,3 +63,28 @@ def test_ikala_stereo_rejects_mono(tmp_path):
 def test_unknown_layout(tmp_path):
     with pytest.raises(ValueError, match="unknown layout"):
         compute_features(str(tmp_path), str(tmp_path), tiny_preset("ikala"), layout="x")
+
+
+def test_score_informed_feature_files(tmp_path):
+    from convsep_tpu.data import load_tensor
+
+    preset = tiny_preset("ikala")
+    adir = tmp_path / "audio"
+    d = adir / "t0"
+    d.mkdir(parents=True)
+    stems, _ = sine_mixture(2, FS, fs=FS, freqs=(220.0, 1400.0), seed=1)
+    write_wav(d / "vocals.wav", FS, stems[0])
+    write_wav(d / "accompaniment.wav", FS, stems[1])
+    (d / "vocals.notes.txt").write_text("0.0 1.0 57\n")       # A3 220 Hz
+    (d / "accompaniment.notes.txt").write_text("0.0 1.0 89\n")  # ~1397 Hz
+    out = tmp_path / "feats"
+    compute_features(str(adir), str(out), preset, score_informed=True)
+    mix = load_tensor(str(out / "t0.mix.data"))
+    for s in ("vocals", "accompaniment"):
+        sc = load_tensor(str(out / f"t0.score_{s}.data"))
+        assert sc.shape == mix.shape
+        assert (sc <= mix + 1e-5).all() and sc.max() > 0
+    # missing annotation errors clearly
+    (d / "vocals.notes.txt").unlink()
+    with pytest.raises(FileNotFoundError, match="notes.txt"):
+        compute_features(str(adir), str(tmp_path / "f2"), preset, score_informed=True)

@@ -41,3 +41,14 @@ def test_iterator_checkpoint_resume(ds):
     second_again = next(it2)
     np.testing.assert_array_equal(second[0], second_again[0])
     del first
+
+
+def test_multiprocess_workers(ds):
+    """worker_count > 0 spawns grain worker processes (pickling the source)."""
+    loader = gpipe.make_loader(ds, 4, seed=1, num_epochs=1, worker_count=1)
+    batches = list(loader)
+    ref = list(gpipe.make_loader(ds, 4, seed=1, num_epochs=1, worker_count=0))
+    assert len(batches) == len(ref)
+    for (x, y), (rx, ry) in zip(batches, ref):
+        np.testing.assert_array_equal(x, rx)
+        np.testing.assert_array_equal(y, ry)
