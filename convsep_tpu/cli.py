@@ -100,12 +100,12 @@ def _cmd_train(args) -> int:
     return 0
 
 
-def _load_params(path: str, preset):
+def _load_params(path: str, preset, allow_unsafe: bool = False):
     """Load model params from an orbax checkpoint dir or a reference pickle."""
     if path.endswith((".pkl", ".pickle", ".param")):
         from convsep_tpu.ckpt.convert_reference import convert_reference_checkpoint
 
-        return convert_reference_checkpoint(path, preset.model)
+        return convert_reference_checkpoint(path, preset.model, allow_unsafe=allow_unsafe)
     from convsep_tpu.ckpt.orbax_io import CheckpointManager
     from convsep_tpu.train.loop import create_train_state
 
@@ -131,7 +131,7 @@ def _cmd_separate(args) -> int:
         preset = dataclasses.replace(
             preset, sep=dataclasses.replace(preset.sep, wiener_p=args.wiener_p)
         )
-    params = _load_params(args.params, preset)
+    params = _load_params(args.params, preset, allow_unsafe=args.unsafe_pickle)
     fs, audio = read_wav(args.input)
     if fs != preset.transform.fs:
         raise ValueError(f"{args.input}: fs {fs} != preset fs {preset.transform.fs}")
@@ -180,7 +180,7 @@ def _cmd_separate_batch(args) -> int:
     from convsep_tpu.separate import StreamSeparator
 
     preset = get_preset(args.preset)
-    params = _load_params(args.params, preset)
+    params = _load_params(args.params, preset, allow_unsafe=args.unsafe_pickle)
     mesh = None
     if args.mesh_data > 1:
         from convsep_tpu.distributed import make_mesh
@@ -256,7 +256,7 @@ def _cmd_convert(args) -> int:
     if args.export:
         import pickle
 
-        params = _load_params(args.input, preset)
+        params = _load_params(args.input, preset, allow_unsafe=args.unsafe_pickle)
         vals = export_reference_params(jax.tree.map(lambda a: a, params), preset.model)
         with open(args.out, "wb") as f:
             pickle.dump(vals, f, protocol=2)
@@ -264,7 +264,9 @@ def _cmd_convert(args) -> int:
         return 0
     import dataclasses as dc
 
-    params = convert_reference_checkpoint(args.input, preset.model)
+    params = convert_reference_checkpoint(
+        args.input, preset.model, allow_unsafe=args.unsafe_pickle
+    )
     state, _ = create_train_state(preset, 0)
     state = dc.replace(state, params=jax.tree.map(jax.numpy.asarray, params))
     mgr = CheckpointManager(args.out)
@@ -324,6 +326,7 @@ def main(argv=None) -> int:
     se.add_argument("--score", default=None, help="dir with <source>.notes.txt for score-informed runs")
     se.add_argument("--stereo", action="store_true", help="separate channels independently → stereo stems (default: downmix to mono)")
     se.add_argument("--wiener-p", type=float, default=None, help="generalized Wiener exponent (default: preset, 1.0; 2.0 = classic Wiener)")
+    se.add_argument("--unsafe-pickle", action="store_true", help="allow arbitrary (unrestricted) pickle loading; only for trusted checkpoint files")
     se.set_defaults(fn=_cmd_separate)
 
     sb = sub.add_parser("separate-batch", help="stream a directory of wavs through batched separation")
@@ -333,6 +336,7 @@ def main(argv=None) -> int:
     sb.add_argument("-o", "--out", required=True)
     sb.add_argument("--batch-size", type=int, default=4)
     sb.add_argument("--mesh-data", type=int, default=1)
+    sb.add_argument("--unsafe-pickle", action="store_true", help="allow arbitrary (unrestricted) pickle loading; only for trusted checkpoint files")
     sb.set_defaults(fn=_cmd_separate_batch)
 
     ev = sub.add_parser("evaluate", help="BSS Eval SDR/SIR/SAR of estimated stems")
@@ -346,6 +350,7 @@ def main(argv=None) -> int:
     cv.add_argument("--input", required=True, help=".pkl (import) or ckpt dir (--export)")
     cv.add_argument("--out", required=True)
     cv.add_argument("--export", action="store_true", help="orbax -> reference pickle")
+    cv.add_argument("--unsafe-pickle", action="store_true", help="allow arbitrary (unrestricted) pickle loading; only for trusted checkpoint files")
     cv.set_defaults(fn=_cmd_convert)
 
     be = sub.add_parser("bench", help="RTF benchmark (one JSON line)")

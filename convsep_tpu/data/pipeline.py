@@ -156,15 +156,18 @@ def prefetch_to_device(iterator: Iterator, size: int = 2, sharding=None) -> Iter
 
     The reference's LargeDataset prefetch thread (SURVEY.md §5.2) rebuilt
     with a bounded queue: batches are `jax.device_put` (optionally with a
-    NamedSharding for pjit'd steps) `size` steps ahead of consumption.
+    NamedSharding for pjit'd steps, or a callable `item → device item` for
+    per-leaf sharding such as mesh.put_leading) `size` steps ahead of
+    consumption.
     """
+    put = sharding if callable(sharding) else (lambda item: jax.device_put(item, sharding))
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
 
     def producer():
         try:
             for item in iterator:
-                q.put(jax.device_put(item, sharding))
+                q.put(put(item))
             q.put(_END)
         except Exception as e:  # surface pipeline errors on the consumer side
             q.put(e)

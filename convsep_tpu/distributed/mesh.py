@@ -34,6 +34,20 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
+def put_leading(mesh: Mesh, item):
+    """device_put a pytree sharding each leaf's LEADING axis over `data`.
+
+    Unlike a single fixed-rank NamedSharding broadcast over the tree, this
+    handles mixed-rank batches — e.g. from-audio training batches are
+    (B, seg) / (B, S, seg) while feature batches are (B, T, F, C)."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(
+            a, NamedSharding(mesh, P("data", *([None] * (max(np.ndim(a), 1) - 1))))
+        ),
+        item,
+    )
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -28,7 +28,7 @@ import optax
 
 from convsep_tpu.configs.presets import Preset
 from convsep_tpu.data.pipeline import SegmentDataset, prefetch_to_device
-from convsep_tpu.distributed.mesh import batch_sharding, replicated
+from convsep_tpu.distributed.mesh import put_leading, replicated
 from convsep_tpu.models.convsep import ConvSep
 from convsep_tpu.models.masks import wiener_filter
 from convsep_tpu.train.losses import interference_matrix, separation_loss
@@ -183,9 +183,12 @@ class Trainer:
         else:
             self.train_step = make_train_step(preset, self.opt)
         self._eval_step = None
+        # callable batch placer: per-leaf leading-axis sharding handles both
+        # feature batches (B,T,F,C)/(B,T,F,S) and from-audio batches
+        # (B,seg)/(B,S,seg) on the same mesh (ADVICE r1 medium)
         self.batch_sharding = None
         if mesh is not None:
-            self.batch_sharding = batch_sharding(mesh, 4)
+            self.batch_sharding = partial(put_leading, mesh)
             self.state = jax.device_put(self.state, replicated(mesh))
         self._ckpt = None
         if workdir:
@@ -229,7 +232,11 @@ class Trainer:
         ):
             if max_batches is not None and i >= max_batches:
                 break
-            losses.append(self._eval_step(self.state.params, jnp.asarray(x), jnp.asarray(y)))
+            if self.batch_sharding is not None:  # mesh-consistent with fit()
+                x, y = self.batch_sharding((x, y))
+            else:
+                x, y = jnp.asarray(x), jnp.asarray(y)
+            losses.append(self._eval_step(self.state.params, x, y))
         return float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
 
     def fit(

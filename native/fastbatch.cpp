@@ -42,14 +42,17 @@ void assemble_batch(const float** tracks, const int64_t* track_frames,
   auto work = [=](int64_t begin, int64_t end) {
     for (int64_t b = begin; b < end; ++b) {
       const int64_t ti = seg_track[b];
+      const int64_t start = seg_start[b];
       float* dst = out + b * T * F;
-      if (ti < 0 || ti >= n_tracks) {  // defensive: zero-fill bad indices
+      // defensive: zero-fill bad track indices AND negative starts — a
+      // negative start would otherwise read before the track buffer (this
+      // is a public ctypes ABI; don't trust the caller)
+      if (ti < 0 || ti >= n_tracks || start < 0) {
         std::memset(dst, 0, sizeof(float) * T * F);
         continue;
       }
       const float* src = tracks[ti];
       const int64_t nf = track_frames[ti];
-      const int64_t start = seg_start[b];
       const int64_t avail =
           std::max<int64_t>(0, std::min<int64_t>(T, nf - start));
       const float* row = src + start * F;

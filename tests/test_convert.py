@@ -6,6 +6,8 @@ numpy oracle of build_ca — proving kernel flips, layout transposes,
 flatten-order permutations, and tied InverseLayer semantics all line up.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -113,3 +115,81 @@ def test_converted_params_load_into_model_init_structure(rng):
     ref_shapes = jax.tree.map(lambda a: a.shape, ref)
     got_shapes = jax.tree.map(lambda a: a.shape, params)
     assert ref_shapes == got_shapes
+
+
+def _repack(vals, cfg, *, merge=True, interleaved=True, chw=False):
+    """Re-encode the canonical value list into a layout variant."""
+    out = list(vals[:6])
+    if chw:
+        out[1] = out[1].reshape(-1, 1, 1)
+        out[3] = out[3].reshape(-1, 1, 1)
+    ws = vals[6 : 6 + 2 * cfg.num_sources : 2]
+    bs = vals[7 : 7 + 2 * cfg.num_sources : 2]
+    if interleaved:
+        for w, b in zip(ws, bs):
+            out.extend([w, b])
+    else:
+        out.extend(ws)
+        out.extend(bs)
+    if merge:
+        out.append(vals[-1])
+    return out
+
+
+@pytest.mark.parametrize(
+    "merge,interleaved,chw",
+    [(True, True, False), (False, True, False), (True, False, False), (True, True, True)],
+)
+def test_detect_layout_variants(rng, merge, interleaved, chw):
+    """Layout auto-detection: every plausible pickle packing converts to the
+    SAME params as the canonical layout (VERDICT r1 #4)."""
+    from convsep_tpu.ckpt.convert_reference import Layout, detect_layout
+
+    vals = _random_reference_values(CFG, rng)
+    packed = _repack(vals, CFG, merge=merge, interleaved=interleaved, chw=chw)
+    layout = detect_layout(packed, CFG)
+    assert layout.expand_interleaved == (interleaved or CFG.num_sources < 2) or interleaved
+    got = convert_reference_params(packed, CFG, layout)
+    want = convert_reference_params(vals, CFG)
+    if not merge:  # merge bias defaults to zero when absent
+        want["params"]["out_bias"] = np.zeros_like(want["params"]["out_bias"])
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the variant round-trips through export
+    back = export_reference_params(got, CFG, layout)
+    for a, b in zip(packed, back):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_detect_layout_on_file(tmp_path, rng):
+    import pickle
+
+    vals = _repack(_random_reference_values(CFG, rng), CFG, merge=False, interleaved=False)
+    p = tmp_path / "variant.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(vals, f, protocol=2)
+    params = convert_reference_checkpoint(str(p), CFG)  # layout auto-detected
+    assert params["params"]["conv1_kernel"].shape == (1, CFG.conv1_freq, 1, CFG.conv1_filters)
+
+
+def test_detect_layout_no_fit_raises(rng):
+    from convsep_tpu.ckpt.convert_reference import detect_layout
+
+    vals = _random_reference_values(CFG, rng)
+    vals[0] = vals[0][..., :-1]  # break conv1.W under every variant
+    with pytest.raises(ValueError, match="no known reference layout"):
+        detect_layout(vals, CFG)
+
+
+def test_restricted_unpickler_blocks_code_objects(tmp_path):
+    """The default loader must refuse pickles that reference arbitrary
+    globals (pickle.load executes code — ADVICE r1 trust boundary)."""
+    import pickle
+
+    p = tmp_path / "evil.pkl"
+    with open(p, "wb") as f:
+        pickle.dump([np.zeros(3), os.path.join], f)  # function ref = code exec vector
+    with pytest.raises(pickle.UnpicklingError, match="only plain"):
+        load_reference_pickle(str(p))
+    loaded = load_reference_pickle(str(p), allow_unsafe=True)
+    assert len(loaded) == 2

@@ -93,3 +93,18 @@ def test_from_audio_trainer_with_grain_and_validation(audio_root, preset):
     assert len(losses) == 2 and np.isfinite(losses).all()
     v = trainer.evaluate(ds, max_batches=2)
     assert np.isfinite(v)
+
+
+def test_from_audio_trainer_on_mesh(audio_root, preset):
+    """ADVICE r1 (medium): from-audio batches are (B,seg)/(B,S,seg) — the
+    mesh batch placer must shard per-leaf leading axes, not assume rank 4."""
+    from convsep_tpu.distributed import make_mesh
+    from convsep_tpu.train.loop import Trainer
+
+    seg = segment_samples(preset)
+    ds = AudioSegmentDataset(audio_root, ("vocals", "accompaniment"), seg, fs=FS)
+    mesh = make_mesh(data=2, model=1, devices=None)
+    trainer = Trainer(preset, mesh=mesh, from_audio=True)
+    losses = trainer.fit(ds, num_epochs=1)
+    assert len(losses) == 1 and np.isfinite(losses[0])
+    assert np.isfinite(trainer.evaluate(ds, max_batches=2))
