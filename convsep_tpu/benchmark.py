@@ -100,7 +100,10 @@ def run_benchmark(
     # at single-track working set and compiles the body once.
     from convsep_tpu.separate.stream import separate_batch_scan
 
-    B = 16
+    # lax.map keeps the working set at single-track size, so B only
+    # amortizes the per-dispatch tunnel RPC (~30 ms here): B=64 measured
+    # ~0.5 ms/track of dispatch overhead vs ~2 ms at B=16
+    B = 64
     batch = jnp.stack([jnp.asarray(host_audio + np.float32(i) * 1e-6) for i in range(B)])
 
     def fused_batch(tracks):

@@ -90,7 +90,10 @@ class SegmentDataset:
         return seg
 
     def get(self, i: int) -> tuple[np.ndarray, np.ndarray]:
-        """Segment i → (input (T, F, C), targets (T, F, S)), scaled."""
+        """Segment i → (input (T, F, C), targets (S, T, F)), scaled.
+
+        Targets are SOURCE-MAJOR — the model's native output layout, so the
+        train step runs transpose-free (models/convsep.py)."""
         ti, start = self._index[i]
         name = self._tracks[ti]
         chans = [self._slice(self._load(name, "mix"), start)]
@@ -98,7 +101,7 @@ class SegmentDataset:
             chans.append(self._slice(self._load(name, c), start))
         x = np.stack(chans, axis=-1) * self.mult_factor_in
         y = (
-            np.stack([self._slice(self._load(name, s), start) for s in self.sources], axis=-1)
+            np.stack([self._slice(self._load(name, s), start) for s in self.sources], axis=0)
             * self.mult_factor_out
         )
         return x, y
@@ -123,7 +126,7 @@ class SegmentDataset:
                 axis=-1,
             )
             y = np.stack(
-                [plane(s, self.mult_factor_out) for s in self.sources], axis=-1
+                [plane(s, self.mult_factor_out) for s in self.sources], axis=1
             )
             return x, y
         xs, ys = zip(*(self.get(int(i)) for i in idx))
@@ -136,7 +139,7 @@ class SegmentDataset:
         seed: int = 0,
         drop_remainder: bool = True,
     ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-        """One epoch of (inputs (B,T,F,C), targets (B,T,F,S)) batches."""
+        """One epoch of (inputs (B,T,F,C), targets (B,S,T,F)) batches."""
         order = np.arange(len(self._index))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)

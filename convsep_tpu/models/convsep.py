@@ -67,6 +67,11 @@ class ConvSepConfig:
     # MXU compute dtype: "float32" (parity) or "bfloat16" (speed; params stay
     # float32, activations/matmuls run bf16, output cast back to float32).
     compute_dtype: str = "float32"
+    # Tied-decoder implementation: "conv" = regular MXU convolutions
+    # (tied_conv_transpose_regular — faster on TPU), "conv_transpose" =
+    # lax.conv_transpose (reference-shaped vjp formulation, kept for
+    # parity tests). Identical math either way.
+    decoder_impl: str = "conv"
 
     @property
     def conv2_time_eff(self) -> int:
@@ -119,14 +124,88 @@ def tied_conv_transpose(
     return out
 
 
+def tied_conv_transpose_regular(
+    y: jnp.ndarray,
+    kernel: jnp.ndarray,
+    strides: Sequence[int],
+    out_spatial: Sequence[int],
+) -> jnp.ndarray:
+    """`tied_conv_transpose` re-expressed as ONE regular (stride-1) conv.
+
+    XLA-TPU lowers input-dilated convolutions (what conv_transpose becomes)
+    to slow loop fusions instead of MXU convolution calls — profiled at
+    4.3 ms + 1.6 ms per 33 s dsd100 track in r1's device trace. Rewriting:
+
+    * height (stride 1): the vjp of a VALID conv is a FULL-padded
+      cross-correlation with the kernel flipped and in/out channels swapped;
+    * width (stride s): phase decomposition — output bins f = s·g + d are
+      computed as s conv OUTPUT CHANNELS over g with ktaps = ceil(kw/s)
+      taps, then a free (g, d)-merge reshape recovers the bin axis.
+
+    Bit-identical math (same adds in the same per-tap order), MXU-eligible,
+    autodiff-friendly. Verified against `tied_conv_transpose`/`jax.vjp` in
+    tests/test_model.py.
+    """
+    kh, kw, I, O = kernel.shape
+    sh, sw = strides
+    if sh != 1:
+        raise NotImplementedError("height stride >1 not used by any preset")
+    ktaps = -(-kw // sw)
+    k = kernel
+    if ktaps * sw != kw:
+        k = jnp.pad(k, ((0, 0), (0, ktaps * sw - kw), (0, 0), (0, 0)))
+    # (kh, ktaps, sw, I, O) → flip conv taps (h and j), order out-chan (d, i)
+    k = k.reshape(kh, ktaps, sw, I, O)[::-1, ::-1]
+    k = k.transpose(0, 1, 4, 2, 3).reshape(kh, ktaps, O, sw * I)
+    o = jax.lax.conv_general_dilated(
+        y,
+        k,
+        (1, 1),
+        [(kh - 1, kh - 1), (ktaps - 1, ktaps - 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (B, H'+kh-1, W'+ktaps-1, sw*I)
+    B, Ho, Wo, _ = o.shape
+    out = o.reshape(B, Ho, Wo * sw, I)
+    h_full = y.shape[1] + kh - 1
+    w_full = (y.shape[2] - 1) * sw + kw
+    out = out[:, :h_full, :w_full]
+    return _pad_to(out, out_spatial)
+
+
+def _pad_to(out: jnp.ndarray, out_spatial: Sequence[int]) -> jnp.ndarray:
+    pads = [(0, 0)]
+    for got, want in zip(out.shape[1:-1], out_spatial):
+        if got > want:
+            raise ValueError(f"decode output {out.shape} exceeds target {out_spatial}")
+        pads.append((0, want - got))
+    pads.append((0, 0))
+    return jnp.pad(out, pads) if any(p != (0, 0) for p in pads) else out
+
+
 class ConvSep(nn.Module):
-    """Source-separation CNN; input (B, T, F, C) scaled magnitude, output
-    (B, T, F, S) nonnegative per-source magnitude estimates."""
+    """Source-separation CNN; input (B, T, F, C) scaled magnitude.
+
+    Two output layouts over the same parameters:
+
+    * ``sources`` (B, S, T, F) — the network's NATIVE layout (the decoder
+      folds sources into the batch axis), no data movement on the way out.
+      The separation pipeline consumes this directly.
+    * ``__call__`` (B, T, F, S) — sources-last view for mask math that
+      broadcasts over a trailing sources axis (training loss path). The
+      trailing-axis transpose this implies was measured at 1.4 ms/track on
+      a v5e (a materialized lane transpose, ROADMAP r1 #3) — avoid it in
+      inference paths.
+    """
 
     config: ConvSepConfig
 
-    @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, F, C) → (B, T, F, S) nonnegative source estimates."""
+        return self.sources(x).transpose(0, 2, 3, 1)
+
+    @nn.compact
+    def sources(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, F, C) → (B, S, T, F): native source-major forward."""
         cfg = self.config
         B, T, F, C = x.shape
         if (T, F, C) != (cfg.time_context, cfg.feat_size, cfg.channels_in):
@@ -167,19 +246,25 @@ class ConvSep(nn.Module):
         exp = nn.relu(exp)
         # fold sources into batch for the grouped transposed convs
         z = exp.reshape(B * S, cfg.enc_time, cfg.enc_freq, cfg.conv2_filters)
-        d2 = tied_conv_transpose(z, k2c, (1, 1), (cfg.time_context, cfg.enc_freq))
-        d1 = tied_conv_transpose(d2, k1c, s1, (cfg.time_context, cfg.feat_size))
-        # (B*S, T, F, C) → collapse channels → (B, T, F, S)
+        decode = (
+            tied_conv_transpose_regular
+            if cfg.decoder_impl == "conv"
+            else tied_conv_transpose
+        )
+        d2 = decode(z, k2c, (1, 1), (cfg.time_context, cfg.enc_freq))
+        d1 = decode(d2, k1c, s1, (cfg.time_context, cfg.feat_size))
+        # (B*S, T, F, C) → collapse channels → (B, S, T, F); leading-dim
+        # reshape only — no materialized transpose
         if cfg.decoder_reduce == "first":
             d = d1[..., 0]
         elif cfg.decoder_reduce == "sum":
             d = d1.sum(axis=-1)
         else:
             raise ValueError(f"unknown decoder_reduce {cfg.decoder_reduce!r}")
-        y = d.reshape(B, S, cfg.time_context, cfg.feat_size).transpose(0, 2, 3, 1)
+        y = d.reshape(B, S, cfg.time_context, cfg.feat_size)
 
         out_bias = self.param("out_bias", nn.initializers.zeros, (S,))
-        return nn.relu(y.astype(jnp.float32) + out_bias)
+        return nn.relu(y.astype(jnp.float32) + out_bias[:, None, None])
 
     def separate(
         self, x: jnp.ndarray, mix: jnp.ndarray, p: float = 1.0, eps: float = 1e-8

@@ -17,28 +17,31 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def wiener_mask(y: jnp.ndarray, p: float = 1.0, eps: float = 1e-8) -> jnp.ndarray:
+def wiener_mask(y: jnp.ndarray, p: float = 1.0, eps: float = 1e-8, axis: int = -1) -> jnp.ndarray:
     """Per-source soft mask from nonnegative source estimates.
 
-    y: (..., S) nonnegative magnitudes (model outputs). Returns masks of the
-    same shape; along the sources axis the masks sum to
-    ``sum_j y_j^p / (sum_j y_j^p + eps) <= 1``.
+    y: nonnegative magnitudes (model outputs) with the sources axis at
+    `axis` (trailing by default; the fused separation pipeline uses the
+    model's native source-major layout with ``axis=0`` so no transpose is
+    ever materialized). Returns masks of the same shape; along the sources
+    axis the masks sum to ``sum_j y_j^p / (sum_j y_j^p + eps) <= 1``.
     """
     yp = jnp.where(y > 0, y, 0.0)
     if p != 1.0:
         yp = jnp.power(yp, p)
-    denom = jnp.sum(yp, axis=-1, keepdims=True) + eps
+    denom = jnp.sum(yp, axis=axis, keepdims=True) + eps
     return yp / denom
 
 
 def wiener_filter(
-    y: jnp.ndarray, mix: jnp.ndarray, p: float = 1.0, eps: float = 1e-8
+    y: jnp.ndarray, mix: jnp.ndarray, p: float = 1.0, eps: float = 1e-8, axis: int = -1
 ) -> jnp.ndarray:
     """Masked mixture estimates: ``mask_i * mix``.
 
-    y: (..., S) nonneg estimates; mix: (...) mixture (real magnitude or
-    complex spectrogram — a real mask times the complex mixture is exactly
-    the reference's "masked magnitude + mixture phase" resynthesis).
-    Returns (..., S) with mix broadcast over the sources axis.
+    y: nonneg estimates with sources on `axis`; mix: y's shape without the
+    sources axis (real magnitude or complex spectrogram — a real mask times
+    the complex mixture is exactly the reference's "masked magnitude +
+    mixture phase" resynthesis). Returns y's shape with mix broadcast over
+    the sources axis.
     """
-    return wiener_mask(y, p=p, eps=eps) * mix[..., None]
+    return wiener_mask(y, p=p, eps=eps, axis=axis) * jnp.expand_dims(mix, axis)

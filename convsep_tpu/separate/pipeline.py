@@ -105,12 +105,17 @@ def separate_fused(
         x = segs[..., None]
 
     if apply_fn is None:
-        apply_fn = ConvSep(m).apply
-    y = apply_fn(params, x)  # (nseg, T, F, S) nonneg
-    y_frames = unsegment_frames(y.transpose(3, 0, 1, 2), nf)  # (S, nf, F)
+        # native source-major forward: (nseg, S, T, F), no lane transpose
+        y = ConvSep(m).apply(params, x, method=ConvSep.sources)
+    else:
+        y = apply_fn(params, x).transpose(0, 3, 1, 2)  # legacy (B,T,F,S) overrides
+    # (nseg,S,T,F) → (S,nseg,T,F): leading-axes block copy (cheap), then a
+    # free reshape to (S, nf, F) — replaces r1's materialized lane
+    # transposes (reshape.80, 1.4 ms/track in the device trace)
+    y_frames = unsegment_frames(y.transpose(1, 0, 2, 3), nf)  # (S, nf, F)
     mask = wiener_mask(
-        y_frames.transpose(1, 2, 0), p=preset.sep.wiener_p, eps=preset.sep.wiener_eps
-    ).transpose(2, 0, 1)  # (S, nf, bins); real mask ⇒ mixture phase kept
+        y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=0
+    )  # (S, nf, bins); real mask ⇒ mixture phase kept
     if t.fft_impl == "matmul":
         stems = istft_matmul(
             mask * re[None], mask * im[None], win, t.hop_size, length, nfft=t.nfft

@@ -68,15 +68,18 @@ def separate_track_sharded(params, audio, preset: Preset, mesh, length: int, app
         x = jax.lax.with_sharding_constraint(
             segs[..., None], NamedSharding(mesh, P("data", None, None, None))
         )
-        fn = apply_fn if apply_fn is not None else ConvSep(m).apply
-        y = fn(params, x)  # (nseg, T, F, S), sharded over segments
+        if apply_fn is None:
+            # native source-major forward (no lane transpose)
+            y = ConvSep(m).apply(params, x, method=ConvSep.sources)  # (nseg,S,T,F)
+        else:
+            y = apply_fn(params, x).transpose(0, 3, 1, 2)
         nf_pad = nseg * m.time_context
-        y_frames = y.transpose(3, 0, 1, 2).reshape(-1, nf_pad, m.feat_size)  # (S, nf_pad, F)
+        y_frames = y.transpose(1, 0, 2, 3).reshape(-1, nf_pad, m.feat_size)  # (S, nf_pad, F)
         re_p = jnp.pad(re, ((0, nf_pad - nf), (0, 0)))
         im_p = jnp.pad(im, ((0, nf_pad - nf), (0, 0)))
         mask = wiener_mask(
-            y_frames.transpose(1, 2, 0), p=preset.sep.wiener_p, eps=preset.sep.wiener_eps
-        ).transpose(2, 0, 1)  # (S, nf_pad, bins)
+            y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=0
+        )  # (S, nf_pad, bins)
         est_re = mask * re_p[None]
         est_im = mask * im_p[None]
         est_re = jax.lax.with_sharding_constraint(

@@ -56,13 +56,15 @@ def make_audio_loss_fn(preset: Preset) -> Callable:
         if mix.shape[-1] != seg:
             raise ValueError(f"segment length {mix.shape[-1]} != required {seg}")
         x = mag_of(mix) * tr.mult_factor_in  # (B, T, F)
+        # stem magnitudes land in source-major (B, S, T, F) NATURALLY — the
+        # model's native output layout, so the whole step is transpose-free
         y_t = (
             mag_of(stems.reshape(-1, seg)).reshape(B, -1, m.time_context, m.feat_size)
             * tr.mult_factor_out
-        ).transpose(0, 2, 3, 1)  # (B, T, F, S)
-        out = model.apply(params, x[..., None])
-        est = wiener_filter(out, x, eps=preset.sep.wiener_eps)
-        return separation_loss(est, y_t, interf)
+        )
+        out = model.apply(params, x[..., None], method=ConvSep.sources)
+        est = wiener_filter(out, x, eps=preset.sep.wiener_eps, axis=1)
+        return separation_loss(est, y_t, interf, source_axis=1)
 
     return loss_fn
 

@@ -62,7 +62,7 @@ def create_train_state(preset: Preset, rng: jax.Array | int = 0) -> tuple[TrainS
 def make_train_step(
     preset: Preset, opt: optax.GradientTransformation
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, jnp.ndarray]]:
-    """Build the jitted train step: (state, x (B,T,F,C), y (B,T,F,S)) →
+    """Build the jitted train step: (state, x (B,T,F,C), y (B,S,T,F)) →
     (state, loss). State buffers are donated (updated in place in HBM)."""
     cfg = preset.model
     tr = preset.train
@@ -77,9 +77,12 @@ def make_train_step(
     )
 
     def loss_fn(params, x, y):
-        out = model.apply(params, x)  # (B,T,F,S) nonneg
-        est = wiener_filter(out, x[..., 0], p=1.0, eps=preset.sep.wiener_eps)
-        return separation_loss(est, y, interf)
+        # source-major (B,S,T,F) throughout: the model's native output
+        # layout, matching the pipeline's target layout — no transposes
+        # anywhere in the compiled step
+        out = model.apply(params, x, method=ConvSep.sources)
+        est = wiener_filter(out, x[..., 0], p=1.0, eps=preset.sep.wiener_eps, axis=1)
+        return separation_loss(est, y, interf, source_axis=1)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, x, y):
@@ -111,9 +114,9 @@ def make_eval_step(preset: Preset, from_audio: bool = False) -> Callable:
 
     @jax.jit
     def eval_step(params, x, y):
-        out = model.apply(params, x)
-        est = wiener_filter(out, x[..., 0], p=1.0, eps=preset.sep.wiener_eps)
-        return separation_loss(est, y, interf)
+        out = model.apply(params, x, method=ConvSep.sources)
+        est = wiener_filter(out, x[..., 0], p=1.0, eps=preset.sep.wiener_eps, axis=1)
+        return separation_loss(est, y, interf, source_axis=1)
 
     return eval_step
 

@@ -48,19 +48,24 @@ def separation_loss(
     est: jnp.ndarray,
     targets: jnp.ndarray,
     interference: np.ndarray | jnp.ndarray | None = None,
+    source_axis: int = -1,
 ) -> jnp.ndarray:
     """Mean squared reconstruction minus weighted interference dissimilarity.
 
-    est, targets: (..., S). `interference`: (S, S) weights, zero diagonal
-    (None → plain MSE summed over sources).
+    est, targets: same shape, sources on `source_axis` (the training engine
+    uses the model's native source-major (B, S, T, F) layout with
+    ``source_axis=1`` — no transposes in the step). `interference`: (S, S)
+    weights, zero diagonal (None → plain MSE summed over sources).
     """
     if est.shape != targets.shape:
         raise ValueError(f"est {est.shape} != targets {targets.shape}")
-    recon = jnp.mean(jnp.sum((est - targets) ** 2, axis=-1))
+    ax = source_axis % est.ndim
+    recon = jnp.mean(jnp.sum((est - targets) ** 2, axis=ax))
     if interference is None:
         return recon
     w = jnp.asarray(interference, dtype=est.dtype)
-    # diff[..., i, j] = est_i - t_j ; weighted mean over elements like recon
-    diff = est[..., :, None] - targets[..., None, :]
-    penalty = jnp.mean(jnp.sum(w * diff**2, axis=(-2, -1)))
+    # diff[..., i, j, ...] = est_i - t_j ; weighted mean over elements like recon
+    diff = jnp.expand_dims(est, ax + 1) - jnp.expand_dims(targets, ax)
+    w = w.reshape(w.shape + (1,) * (est.ndim - 1 - ax))
+    penalty = jnp.mean(jnp.sum(w * diff**2, axis=(ax, ax + 1)))
     return recon - penalty

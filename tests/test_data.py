@@ -86,7 +86,7 @@ def test_segment_dataset_batches(tmp_path):
     ds = SegmentDataset(str(tmp_path), sources, time_context=30, overlap=20)
     assert len(ds) > 4
     x, y = ds.get(0)
-    assert x.shape == (30, 513, 1) and y.shape == (30, 513, 2)
+    assert x.shape == (30, 513, 1) and y.shape == (2, 30, 513)
     batches = list(ds.batches(4, shuffle=True, seed=1))
     assert all(b[0].shape == (4, 30, 513, 1) for b in batches)
     # shuffling is deterministic per seed
@@ -106,7 +106,7 @@ def test_segment_dataset_extra_channels(tmp_path):
         str(tmp_path), sources, extra_channels=("violin", "clarinet")
     )
     x, y = ds.get(0)
-    assert x.shape == (30, 513, 3) and y.shape == (30, 513, 2)
+    assert x.shape == (30, 513, 3) and y.shape == (2, 30, 513)
 
 
 def test_segment_dataset_missing_stem_raises(tmp_path):

@@ -27,7 +27,7 @@ def test_epoch_covers_dataset_deterministically(ds):
 def test_batch_shapes(ds):
     x, y = next(gpipe.batches(ds, 4))
     assert x.shape == (4, 10, 513, 1)
-    assert y.shape == (4, 10, 513, 2)
+    assert y.shape == (4, 2, 10, 513)
 
 
 def test_iterator_checkpoint_resume(ds):

@@ -110,3 +110,45 @@ def test_bfloat16_compute_close_to_f32(rng):
     assert y16.dtype == np.float32
     scale = np.abs(y32).max() + 1e-9
     assert np.abs(y16 - y32).max() / scale < 0.05
+
+
+def test_tied_conv_transpose_regular_matches_vjp(rng):
+    """The regular-conv decoder (MXU path, r2) must be the exact vjp too —
+    including non-tiling strides and multi-channel inputs."""
+    from convsep_tpu.models.convsep import tied_conv_transpose_regular
+
+    dn = ("NHWC", "HWIO", "NHWC")
+    for (h, w, i, o), strides, in_spatial in [
+        ((1, 30, 1, 8), (1, 3), (30, 513)),
+        ((15, 1, 8, 8), (1, 1), (30, 162)),
+        ((1, 30, 1, 8), (1, 4), (30, 513)),
+        ((1, 30, 5, 8), (1, 3), (30, 513)),   # score-informed channels_in=5
+        ((7, 5, 3, 4), (1, 2), (20, 33)),     # 2-D kernel, both axes active
+    ]:
+        k = rng.standard_normal((h, w, i, o)).astype(np.float32)
+        x0 = jnp.zeros((2, *in_spatial, i))
+        fwd = lambda v: jax.lax.conv_general_dilated(  # noqa: E731
+            v, k, strides, "VALID", dimension_numbers=dn
+        )
+        y = rng.standard_normal(jax.eval_shape(fwd, x0).shape).astype(np.float32)
+        want = jax.vjp(fwd, x0)[1](jnp.asarray(y))[0]
+        got = tied_conv_transpose_regular(jnp.asarray(y), jnp.asarray(k), strides, in_spatial)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_decoder_impls_agree(rng):
+    """ConvSep with decoder_impl=conv equals decoder_impl=conv_transpose."""
+    import dataclasses
+
+    cfg = ConvSepConfig(
+        time_context=12, feat_size=65, channels_in=1, num_sources=3,
+        conv1_filters=6, conv1_freq=9, conv1_freq_stride=2,
+        conv2_filters=5, conv2_time=5, bottleneck=16,
+    )
+    x = jnp.asarray(np.abs(rng.standard_normal((3, 12, 65, 1))).astype(np.float32))
+    m_conv = ConvSep(cfg)
+    params = m_conv.init(jax.random.PRNGKey(0), x)
+    m_ct = ConvSep(dataclasses.replace(cfg, decoder_impl="conv_transpose"))
+    a = np.asarray(m_conv.apply(params, x))
+    b = np.asarray(m_ct.apply(params, x))
+    np.testing.assert_allclose(a, b, atol=1e-4)
