@@ -119,6 +119,31 @@ def run_benchmark(
     per_track_b = (time.perf_counter() - t0) / (B * reps)
     rtf_batched = audio_sec / per_track_b
 
+    # same program with the Pallas DSP kernels (fft_impl="pallas"), smaller
+    # B / fewer reps — recorded for the matmul-vs-pallas decision (the
+    # committed profile: docs/PALLAS_PROFILE.md; matmul is default because
+    # it wins on this backend)
+    import dataclasses
+
+    pl_preset = dataclasses.replace(
+        preset, transform=dataclasses.replace(preset.transform, fft_impl="pallas")
+    )
+    Bp = 8
+    batch_p = batch[:Bp]
+
+    def fused_batch_pallas(tracks):
+        return separate_batch_scan(params, tracks, pl_preset, Lb, None, "int16")
+
+    try:
+        out_p = fused_batch_pallas(batch_p)
+        np.asarray(out_p[:, :, :8])
+        t0 = time.perf_counter()
+        out_p = fused_batch_pallas(batch_p)
+        np.asarray(out_p[:, :, :8])
+        rtf_batched_pallas = audio_sec / ((time.perf_counter() - t0) / Bp)
+    except Exception as e:  # record the failure rather than killing the bench
+        rtf_batched_pallas = f"failed: {type(e).__name__}"
+
     rtf_device = max(audio_sec / min_c, rtf_sustained, rtf_batched)
     return {
         "metric": f"RTF audio-sec/sec/chip ({preset_name} {cfg.num_sources}-stem fused separation, HBM-resident)",
@@ -138,6 +163,11 @@ def run_benchmark(
             "rtf_sustained_batched": round(rtf_batched, 2),
             "batched_per_track_s": round(per_track_b, 4),
             "batch_size": B,
+            "rtf_batched_pallas_impl": (
+                round(rtf_batched_pallas, 2)
+                if isinstance(rtf_batched_pallas, float)
+                else rtf_batched_pallas
+            ),
             "e2e_median_s": med_e,
             "rtf_e2e_incl_transfers": round(rtf_e2e, 2),
             "stem_fetch_median_s": float(np.median(t_fetch)),

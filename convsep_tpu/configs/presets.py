@@ -33,7 +33,9 @@ class TransformConfig:
     window: str = "sinebell"
     iscale: str = "lin"
     # "fft": jnp.fft (bit-exact parity path) | "matmul": DFT as MXU matmuls
-    # (TPU speed path, ~1e-4 abs of the fft path — see dsp/dft.py)
+    # (TPU speed path, ~1e-4 abs of the fft path — see dsp/dft.py) |
+    # "pallas": fused framing/DFT/OLA/Wiener kernels (dsp/pallas — frames
+    # and masks never materialize in HBM; bench-selectable vs matmul)
     fft_impl: str = "fft"
     # Multi-resolution analysis (BASELINE config #5): extra window sizes
     # whose magnitudes become additional input channels. They share

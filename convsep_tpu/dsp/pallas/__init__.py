@@ -1,7 +1,16 @@
 """Pallas TPU kernels for the DSP hot path (SURVEY.md §2.2)."""
 
-from convsep_tpu.dsp.pallas.stft_kernel import stft_pallas
-from convsep_tpu.dsp.pallas.istft_kernel import istft_pallas
-from convsep_tpu.dsp.pallas.wiener_kernel import wiener_apply_pallas
 
-__all__ = ["stft_pallas", "istft_pallas", "wiener_apply_pallas"]
+def interpret_default() -> bool:
+    """Mosaic kernels compile on TPU only; anywhere else (CPU CI, the
+    forced-host-platform mesh tests) run them in interpreter mode."""
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
+from convsep_tpu.dsp.pallas.stft_kernel import stft_pallas  # noqa: E402
+from convsep_tpu.dsp.pallas.istft_kernel import istft_pallas  # noqa: E402
+from convsep_tpu.dsp.pallas.wiener_kernel import wiener_apply_pallas  # noqa: E402
+
+__all__ = ["stft_pallas", "istft_pallas", "wiener_apply_pallas", "interpret_default"]

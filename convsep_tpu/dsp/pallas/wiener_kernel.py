@@ -29,17 +29,25 @@ def _kernel(y_ref, mix_re_ref, mix_im_ref, out_re_ref, out_im_ref, *, p, eps):
     out_im_ref[:] = mask * mix_im_ref[:][None]
 
 
-@partial(jax.jit, static_argnames=("p", "eps", "interpret"))
 def wiener_apply_pallas(
     y: jnp.ndarray,
     mix_re: jnp.ndarray,
     mix_im: jnp.ndarray,
     p: float = 1.0,
     eps: float = 1e-8,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """y (S, F, B) nonneg estimates + mixture re/im (F, B) →
     masked estimate re/im (S, F, B)."""
+    if interpret is None:
+        from convsep_tpu.dsp.pallas import interpret_default
+
+        interpret = interpret_default()
+    return _wiener_apply_impl(y, mix_re, mix_im, float(p), float(eps), bool(interpret))
+
+
+@partial(jax.jit, static_argnames=("p", "eps", "interpret"))
+def _wiener_apply_impl(y, mix_re, mix_im, p, eps, interpret):
     S, Fr, B = y.shape
     if mix_re.shape != (Fr, B) or mix_im.shape != (Fr, B):
         raise ValueError(f"mix {mix_re.shape} does not match y {y.shape}")

@@ -85,6 +85,14 @@ def separate_fused(
         re, im = stft_matmul(audio, win, t.hop_size, t.nfft)  # (nf, bins) ×2
         nf = re.shape[0]
         mag_raw = jnp.sqrt(re * re + im * im)
+    elif t.fft_impl == "pallas":
+        # fused framing+window+DFT kernel (dsp/pallas) — frames never
+        # materialize in HBM (SURVEY.md §2.2 #1)
+        from convsep_tpu.dsp.pallas import stft_pallas
+
+        re, im = stft_pallas(audio, win, t.hop_size, t.nfft)
+        nf = re.shape[0]
+        mag_raw = jnp.sqrt(re * re + im * im)
     else:
         spec = stft(audio, win, t.hop_size, t.nfft)  # (nf, bins) complex
         nf = spec.shape[0]
@@ -113,16 +121,26 @@ def separate_fused(
     # free reshape to (S, nf, F) — replaces r1's materialized lane
     # transposes (reshape.80, 1.4 ms/track in the device trace)
     y_frames = unsegment_frames(y.transpose(1, 0, 2, 3), nf)  # (S, nf, F)
-    mask = wiener_mask(
-        y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=0
-    )  # (S, nf, bins); real mask ⇒ mixture phase kept
-    if t.fft_impl == "matmul":
-        stems = istft_matmul(
-            mask * re[None], mask * im[None], win, t.hop_size, length, nfft=t.nfft
+    if t.fft_impl == "pallas":
+        # fused mask+apply (never materializes per-source masks) + fused
+        # inverse-DFT/OLA kernels, sources on the batch grid axis
+        from convsep_tpu.dsp.pallas import istft_pallas, wiener_apply_pallas
+
+        est_re, est_im = wiener_apply_pallas(
+            y_frames, re, im, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps
         )
+        stems = istft_pallas(est_re, est_im, win, t.hop_size, length, nfft=t.nfft)
     else:
-        est_spec = mask * spec[None]  # (S, nf, bins) complex
-        stems = istft(est_spec, win, t.hop_size, length, nfft=t.nfft)
+        mask = wiener_mask(
+            y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=0
+        )  # (S, nf, bins); real mask ⇒ mixture phase kept
+        if t.fft_impl == "matmul":
+            stems = istft_matmul(
+                mask * re[None], mask * im[None], win, t.hop_size, length, nfft=t.nfft
+            )
+        else:
+            est_spec = mask * spec[None]  # (S, nf, bins) complex
+            stems = istft(est_spec, win, t.hop_size, length, nfft=t.nfft)
     if output_dtype == "int16":
         return jnp.clip(stems * 32768.0, -32768.0, 32767.0).astype(jnp.int16)
     return stems

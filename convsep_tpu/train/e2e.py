@@ -48,7 +48,12 @@ def make_audio_loss_fn(preset: Preset) -> Callable:
     )
 
     def mag_of(audio):  # (..., seg) → (..., T, F) scaled magnitude
-        re, im = stft_matmul(audio, win, t.hop_size, t.nfft)
+        if t.fft_impl == "pallas":
+            from convsep_tpu.dsp.pallas import stft_pallas
+
+            re, im = stft_pallas(audio, win, t.hop_size, t.nfft)
+        else:
+            re, im = stft_matmul(audio, win, t.hop_size, t.nfft)
         return scale_magnitude(jnp.sqrt(re * re + im * im), t.iscale)
 
     def loss_fn(params, mix, stems):
