@@ -114,7 +114,7 @@ def _load_params(path: str, preset, allow_unsafe: bool = False):
     restored = mgr.restore_latest(state)
     if restored is None:
         raise FileNotFoundError(f"no checkpoint under {path}")
-    return restored.params
+    return restored[0].params
 
 
 def _cmd_separate(args) -> int:

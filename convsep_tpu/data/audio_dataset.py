@@ -93,14 +93,20 @@ class AudioSegmentDataset:
         return mix, stems
 
     def batches(
-        self, batch_size: int, shuffle: bool = True, seed: int = 0, drop_remainder: bool = True
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_remainder: bool = True,
+        start: int = 0,
     ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-        """(mix (B, seg), stems (B, S, seg)) float32 batches."""
+        """(mix (B, seg), stems (B, S, seg)) float32 batches. `start`
+        skips the first `start` batches unassembled (mid-epoch resume)."""
         order = np.arange(len(self._index))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         stop = len(order) - batch_size + 1 if drop_remainder else len(order)
-        for b0 in range(0, max(stop, 0), batch_size):
+        for b0 in range(start * batch_size, max(stop, 0), batch_size):
             idx = order[b0 : b0 + batch_size]
             xs, ys = zip(*(self.get(int(i)) for i in idx))
             yield np.stack(xs), np.stack(ys)

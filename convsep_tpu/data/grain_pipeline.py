@@ -31,6 +31,17 @@ class _Source:
     def __getitem__(self, i: int):
         return self._ds.get(int(i))
 
+    def __repr__(self) -> str:
+        # grain validates checkpointed iterator state against
+        # repr(data_source); a stable repr (not the default object id) is
+        # what makes iterator state restorable across processes. Works for
+        # both SegmentDataset and AudioSegmentDataset.
+        ds = self._ds
+        return (
+            f"_Source({type(ds).__name__}, root={ds.root!r}, "
+            f"sources={ds.sources!r}, n={len(ds)})"
+        )
+
 
 def make_loader(
     ds: SegmentDataset,
@@ -63,3 +74,23 @@ def make_loader(
 def batches(ds: SegmentDataset, batch_size: int, seed: int = 0) -> Iterator:
     """One deterministic epoch of (x, y) batches via grain."""
     return iter(make_loader(ds, batch_size, seed=seed, num_epochs=1))
+
+
+def stateful_batches(loader: gp.DataLoader, state: str | bytes | None = None) -> Iterator:
+    """Yield (batch, iterator_state_str) pairs from a grain loader.
+
+    The state emitted WITH each batch is the iterator position *after*
+    producing it, so checkpointing the last-consumed state resumes on
+    exactly the unseen batches — regardless of how far an async prefetch
+    queue ran ahead. `state` (from a checkpoint) resumes the iterator.
+    """
+    it = iter(loader)
+    if state is not None:
+        it.set_state(state.encode() if isinstance(state, str) else state)
+    while True:
+        try:
+            batch = next(it)
+        except StopIteration:
+            return
+        s = it.get_state()
+        yield batch, (s.decode() if isinstance(s, bytes) else s)

@@ -138,13 +138,17 @@ class SegmentDataset:
         shuffle: bool = True,
         seed: int = 0,
         drop_remainder: bool = True,
+        start: int = 0,
     ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-        """One epoch of (inputs (B,T,F,C), targets (B,S,T,F)) batches."""
+        """One epoch of (inputs (B,T,F,C), targets (B,S,T,F)) batches.
+
+        `start` skips the first `start` batches WITHOUT assembling them
+        (deterministic per seed — the mid-epoch resume path)."""
         order = np.arange(len(self._index))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         stop = len(order) - batch_size + 1 if drop_remainder else len(order)
-        for b0 in range(0, max(stop, 0), batch_size):
+        for b0 in range(start * batch_size, max(stop, 0), batch_size):
             idx = order[b0 : b0 + batch_size]
             x, y = self._assemble(idx)
             if not drop_remainder and x.shape[0] < batch_size:

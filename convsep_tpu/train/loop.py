@@ -194,6 +194,9 @@ class Trainer:
             self.batch_sharding = partial(put_leading, mesh)
             self.state = jax.device_put(self.state, replicated(mesh))
         self._ckpt = None
+        # data position riding along with every checkpoint (mid-epoch resume)
+        self._data_pos: dict = {"epoch": 0, "batch_in_epoch": 0, "grain": None}
+        self._resume: dict = {}
         if workdir:
             os.makedirs(workdir, exist_ok=True)
             from convsep_tpu.ckpt.orbax_io import CheckpointManager
@@ -208,19 +211,26 @@ class Trainer:
         return {"step": self.state.step, "params": self.state.params}
 
     def _save(self, step: int) -> None:
-        self._ckpt.save(step, self._save_view())
+        self._ckpt.save(step, self._save_view(), extra=self._data_pos)
 
     def restore(self) -> int:
-        """Resume from the latest checkpoint if present; returns the step."""
+        """Resume from the latest checkpoint if present; returns the step.
+
+        Restores the data position too (epoch, batch-in-epoch, grain
+        iterator state) — the next fit() continues MID-EPOCH on exactly
+        the unseen batches (beyond the reference's epoch-granular resume).
+        """
         if self._ckpt is not None:
             restored = self._ckpt.restore_latest(self._save_view())
             if restored is not None:
+                st, meta = restored
                 if self.preset.train.checkpoint_optimizer_state:
-                    self.state = restored
+                    self.state = st
                 else:  # optimizer accumulators restart from zero
                     self.state = dataclasses.replace(
-                        self.state, step=restored["step"], params=restored["params"]
+                        self.state, step=st["step"], params=st["params"]
                     )
+                self._resume = dict(meta or {})
         return int(self.state.step)
 
     def evaluate(self, dataset: SegmentDataset, max_batches: int | None = None) -> float:
@@ -251,8 +261,16 @@ class Trainer:
         use_grain: bool = False,
         grain_workers: int = 0,
         val_dataset: SegmentDataset | None = None,
+        max_steps: int | None = None,
     ) -> list[float]:
-        """Run the epoch loop; returns per-epoch mean losses."""
+        """Run the epoch loop; returns per-epoch mean losses.
+
+        After `restore()`, training continues mid-epoch: the grain iterator
+        state (or the deterministic batch index for the thread pipeline)
+        rides in every checkpoint, so the resumed run consumes exactly the
+        batches the interrupted run never trained on. `max_steps` stops
+        (with a checkpoint) after that many cumulative steps.
+        """
         tr = self.preset.train
         num_epochs = tr.num_epochs if num_epochs is None else num_epochs
         if metrics_path is None and self.workdir:
@@ -261,28 +279,49 @@ class Trainer:
         logger = MetricsLogger(metrics_path, tensorboard_dir=tb_dir)
         epoch_losses = []
         step = int(self.state.step)
+        start_epoch = int(self._resume.get("epoch", 0))
+        resume_batch = int(self._resume.get("batch_in_epoch", 0))
+        resume_grain = self._resume.get("grain")
+        self._resume = {}
+        put = self.batch_sharding if self.batch_sharding is not None else jax.device_put
         try:
-            for epoch in range(num_epochs):
+            for epoch in range(start_epoch, num_epochs):
                 t0 = time.perf_counter()
                 losses = []
+                skip = resume_batch if epoch == start_epoch else 0
+                g0 = resume_grain if epoch == start_epoch else None
                 if use_grain:
-                    from convsep_tpu.data.grain_pipeline import make_loader
+                    from convsep_tpu.data.grain_pipeline import make_loader, stateful_batches
 
-                    batches = iter(
+                    batches = stateful_batches(
                         make_loader(
                             dataset,
                             tr.batch_size,
                             seed=tr.seed + epoch,
                             num_epochs=1,
                             worker_count=grain_workers,
-                        )
+                        ),
+                        state=g0,
                     )
                 else:
-                    batches = dataset.batches(tr.batch_size, shuffle=True, seed=tr.seed + epoch)
-                for x, y in prefetch_to_device(batches, sharding=self.batch_sharding):
+                    batches = (
+                        (b, None)
+                        for b in dataset.batches(
+                            tr.batch_size, shuffle=True, seed=tr.seed + epoch, start=skip
+                        )
+                    )
+                consumed = skip
+                stop = False
+                for (x, y), dpos in prefetch_to_device(
+                    batches, sharding=lambda item: (put(item[0]), item[1])
+                ):
                     self.state, loss = self.train_step(self.state, x, y)
                     step += 1
+                    consumed += 1
                     losses.append(loss)
+                    self._data_pos = {
+                        "epoch": epoch, "batch_in_epoch": consumed, "grain": dpos
+                    }
                     if (
                         self._ckpt is not None
                         and step % tr.checkpoint_every_steps == 0
@@ -293,6 +332,13 @@ class Trainer:
                     # ~13 ms step itself on tunneled runtimes
                     if step % logger.print_every == 0 and len(losses) >= 2:
                         logger.log(step=step - 1, epoch=epoch, loss=float(losses[-2]))
+                    if max_steps is not None and step >= max_steps:
+                        stop = True
+                        break
+                if stop:
+                    if self._ckpt is not None:
+                        self._save(step)
+                    break
                 mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
                 epoch_losses.append(mean_loss)
                 epoch_kv = dict(
@@ -304,6 +350,7 @@ class Trainer:
                 if val_dataset is not None:
                     epoch_kv["val_loss"] = self.evaluate(val_dataset)
                 logger.log(**epoch_kv)
+                self._data_pos = {"epoch": epoch + 1, "batch_in_epoch": 0, "grain": None}
                 if self._ckpt is not None:
                     self._save(step)
         finally:

@@ -29,15 +29,15 @@ def tiny_train_preset(num_epochs=3, batch_size=8, **train_kw):
         conv2_filters=4,
         bottleneck=16,
     )
-    train = dataclasses.replace(
-        p.train,
+    kw = dict(
         batch_size=batch_size,
         num_epochs=num_epochs,
         time_context=10,
         overlap=5,
         checkpoint_every_steps=5,
-        **train_kw,
     )
+    kw.update(train_kw)
+    train = dataclasses.replace(p.train, **kw)
     return dataclasses.replace(p, transform=t, model=model, train=train)
 
 
@@ -90,8 +90,10 @@ def test_checkpoint_resume(feature_dir, tmp_path):
     p2 = jax.tree.leaves(t2.state.params)
     for a, b in zip(p1, p2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # training continues from the restored state
-    more = t2.fit(_dataset(feature_dir, preset), num_epochs=1)
+    # training continues from the restored state (num_epochs is the TOTAL
+    # epoch budget — mid-epoch resume metadata places us after epoch 2, so
+    # ask for a 3rd epoch)
+    more = t2.fit(_dataset(feature_dir, preset), num_epochs=3)
     assert int(t2.state.step) > step1 and np.isfinite(more[0])
 
 
@@ -179,3 +181,71 @@ def test_params_only_checkpointing(feature_dir, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # optimizer accumulators restarted
     assert all((np.asarray(x) == 0).all() for x in jax.tree.leaves(t2.state.opt_state))
+
+
+def _record_batches(trainer):
+    """Wrap trainer.train_step to record a checksum of every consumed batch."""
+    seen = []
+    orig = trainer.train_step
+
+    def wrapped(state, x, y):
+        seen.append(float(jnp.sum(x)))
+        return orig(state, x, y)
+
+    trainer.train_step = wrapped
+    return seen
+
+
+@pytest.mark.parametrize("use_grain", [False, True])
+def test_mid_epoch_resume_sees_exactly_unseen_batches(feature_dir, tmp_path, use_grain):
+    """Kill training mid-epoch; the resumed run consumes exactly the batches
+    after the checkpoint — grain iterator state / deterministic batch index
+    rides inside the orbax checkpoint (VERDICT r1 #5)."""
+    preset = tiny_train_preset(num_epochs=2, checkpoint_every_steps=3)
+    ds = _dataset(feature_dir, preset)
+    n_batches = len(ds) // preset.train.batch_size
+    assert n_batches >= 5, n_batches
+
+    # uninterrupted reference run: record the full batch sequence
+    ref = Trainer(preset)
+    ref_seen = _record_batches(ref)
+    ref.fit(ds, num_epochs=2, use_grain=use_grain)
+
+    # interrupted run: stop mid-epoch-0 at step 4 (checkpoint at step 3)
+    wd = str(tmp_path / f"run_{use_grain}")
+    t1 = Trainer(preset, workdir=wd)
+    t1_seen = _record_batches(t1)
+    t1.fit(ds, num_epochs=2, use_grain=use_grain, max_steps=4)
+    assert len(t1_seen) == 4
+
+    # resume: must continue at batch index 4 of epoch 0 (ckpt at max_steps)
+    t2 = Trainer(preset, workdir=wd)
+    t2_seen = _record_batches(t2)
+    step = t2.restore()
+    assert step == 4
+    t2.fit(ds, num_epochs=2, use_grain=use_grain)
+
+    np.testing.assert_allclose(t1_seen + t2_seen, ref_seen, rtol=1e-6)
+    # and the final params match the uninterrupted run's
+    for a, b in zip(jax.tree.leaves(ref.state.params), jax.tree.leaves(t2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_resume_from_mid_epoch_checkpoint_not_max_steps(feature_dir, tmp_path):
+    """Resume from a periodic (step-3) checkpoint: replay starts at batch 3."""
+    preset = tiny_train_preset(num_epochs=1, checkpoint_every_steps=3)
+    ds = _dataset(feature_dir, preset)
+    ref = Trainer(preset)
+    ref_seen = _record_batches(ref)
+    ref.fit(ds, num_epochs=1)
+
+    wd = str(tmp_path / "runp")
+    t1 = Trainer(preset, workdir=wd)
+    _record_batches(t1)
+    t1.fit(ds, num_epochs=1, max_steps=3)  # stops exactly at the periodic save
+
+    t2 = Trainer(preset, workdir=wd)
+    t2_seen = _record_batches(t2)
+    assert t2.restore() == 3
+    t2.fit(ds, num_epochs=1)
+    np.testing.assert_allclose(t2_seen, ref_seen[3:], rtol=1e-6)
