@@ -30,6 +30,7 @@ def _cmd_compute_features(args) -> int:
         preset,
         score_informed=args.score_informed,
         layout=args.layout,
+        augment=args.augment,
     )
     print(f"computed features for {len(tracks)} tracks -> {args.out}")
     return 0
@@ -297,6 +298,10 @@ def main(argv=None) -> int:
         default="trackdirs",
         choices=["trackdirs", "ikala-stereo"],
         help="trackdirs: <track>/<stem>.wav; ikala-stereo: flat stereo wavs (ch0 accomp, ch1 voice)",
+    )
+    cf.add_argument(
+        "--augment", type=int, default=0,
+        help="emit N augmented copies per track (note/audio time shifts + stretches)",
     )
     cf.set_defaults(fn=_cmd_compute_features)
 

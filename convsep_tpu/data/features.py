@@ -81,58 +81,88 @@ def _tracks_ikala_stereo(audio_dir: str, preset: Preset):
 _LAYOUTS = {"trackdirs": _tracks_trackdirs, "ikala-stereo": _tracks_ikala_stereo}
 
 
+def _emit_track(
+    out_dir: str,
+    name: str,
+    stems: dict[str, np.ndarray],
+    mix: np.ndarray,
+    notes: list | None,
+    preset: Preset,
+    t: TransformFFT,
+) -> None:
+    """Write one track's feature files (mix/stems, multires, score chans)."""
+    mix_mag = t.compute_file(mix)
+    save_tensor(mix_mag, os.path.join(out_dir, f"{name}.mix.data"))
+    for s, audio in stems.items():
+        save_tensor(t.compute_file(audio), os.path.join(out_dir, f"{name}.{s}.data"))
+
+    if preset.transform.multires:
+        import jax.numpy as jnp
+
+        from convsep_tpu.dsp.multires import multires_channels
+        from convsep_tpu.dsp.stft import scale_magnitude
+
+        ex = np.asarray(
+            scale_magnitude(
+                multires_channels(jnp.asarray(mix, jnp.float32), preset.transform),
+                preset.transform.iscale,
+            )
+        )
+        for i, size in enumerate(preset.transform.multires):
+            save_tensor(ex[..., i], os.path.join(out_dir, f"{name}.res{size}.data"))
+
+    if notes is not None:
+        chans = score_filtered_channels(
+            mix_mag, notes, fs=preset.transform.fs, hop=preset.transform.hop_size
+        )
+        for i, s in enumerate(preset.sources):
+            save_tensor(chans[..., i], os.path.join(out_dir, f"{name}.score_{s}.data"))
+
+
 def compute_features(
     audio_dir: str,
     out_dir: str,
     preset: Preset,
     score_informed: bool = False,
     layout: str = "trackdirs",
+    augment: int = 0,
 ) -> list[str]:
-    """Compute feature files for every track; returns track names."""
+    """Compute feature files for every track; returns track names.
+
+    `augment=N` additionally emits N augmented copies per track
+    (`<track>.aug<i>`), cycling note/audio time shifts and time stretches
+    applied CONSISTENTLY to audio, mixture, and score annotations — the
+    reference's Bach10 augmentation (SURVEY.md §2.1 #9 [M]). Augmented
+    copies are full training tracks: SegmentDataset picks them up by their
+    `.mix.data` files like any other.
+    """
+    from convsep_tpu.score.masks import augment_track, augmentation_plan
+
     t = TransformFFT(preset.transform)
     os.makedirs(out_dir, exist_ok=True)
     try:
         walker = _LAYOUTS[layout]
     except KeyError:
         raise ValueError(f"unknown layout {layout!r}; have {sorted(_LAYOUTS)}") from None
+    plan = augmentation_plan(augment)
     done = []
     for track, tdir, stems, mix in walker(audio_dir, preset):
-
-        mix_mag = t.compute_file(mix)
-        save_tensor(mix_mag, os.path.join(out_dir, f"{track}.mix.data"))
-        for s, audio in stems.items():
-            save_tensor(t.compute_file(audio), os.path.join(out_dir, f"{track}.{s}.data"))
-
-        if preset.transform.multires:
-            import jax.numpy as jnp
-
-            from convsep_tpu.dsp.multires import multires_channels
-            from convsep_tpu.dsp.stft import scale_magnitude
-
-            ex = np.asarray(
-                scale_magnitude(
-                    multires_channels(jnp.asarray(mix, jnp.float32), preset.transform),
-                    preset.transform.iscale,
-                )
-            )
-            for i, size in enumerate(preset.transform.multires):
-                save_tensor(
-                    ex[..., i], os.path.join(out_dir, f"{track}.res{size}.data")
-                )
-
+        notes = None
         if score_informed:
-            per_source = []
+            notes = []
             for s in preset.sources:
                 ann = os.path.join(tdir, f"{s}.notes.txt")
                 if not os.path.exists(ann):
                     raise FileNotFoundError(f"score-informed run missing {ann}")
-                per_source.append(parse_note_annotations(ann))
-            chans = score_filtered_channels(
-                mix_mag, per_source, fs=preset.transform.fs, hop=preset.transform.hop_size
-            )
-            for i, s in enumerate(preset.sources):
-                save_tensor(
-                    chans[..., i], os.path.join(out_dir, f"{track}.score_{s}.data")
-                )
+                notes.append(parse_note_annotations(ann))
+
+        _emit_track(out_dir, track, stems, mix, notes, preset, t)
         done.append(track)
+        for i, (kind, value) in enumerate(plan, 1):
+            a_stems, a_mix, a_notes = augment_track(
+                stems, mix, notes, preset.transform.fs, kind, value
+            )
+            name = f"{track}.aug{i}"
+            _emit_track(out_dir, name, a_stems, a_mix, a_notes, preset, t)
+            done.append(name)
     return done

@@ -67,6 +67,67 @@ def stretch_notes(notes: list[Note], factor: float) -> list[Note]:
     ]
 
 
+def shift_audio(audio: np.ndarray, dt: float, fs: int) -> np.ndarray:
+    """Shift audio to match `shift_notes(notes, dt)`: positive dt delays
+    the signal (front zero-pad), negative dt crops the head."""
+    n = int(round(dt * fs))
+    if n >= 0:
+        return np.concatenate([np.zeros(n, np.float32), np.asarray(audio, np.float32)])
+    return np.asarray(audio[-n:], np.float32)
+
+
+def stretch_audio(audio: np.ndarray, factor: float) -> np.ndarray:
+    """Linear-interpolation time-stretch matching `stretch_notes(notes,
+    factor)` — an event at t seconds lands at factor·t seconds (pitch
+    shifts with it, as in naive time-scaling augmentation [M])."""
+    if factor <= 0:
+        raise ValueError("stretch factor must be positive")
+    n = len(audio)
+    n_out = max(1, int(round(n * factor)))
+    x_new = np.linspace(0.0, n - 1.0, n_out)
+    return np.interp(x_new, np.arange(n), np.asarray(audio, np.float64)).astype(np.float32)
+
+
+def augmentation_plan(n: int) -> list[tuple[str, float]]:
+    """Deterministic cycle of n augmentation variants: alternating note/audio
+    time shifts and time stretches (reference Bach10 augmentation [M])."""
+    base = [("shift", 0.1), ("shift", -0.1), ("stretch", 0.9), ("stretch", 1.1)]
+    out = []
+    round_ = 0
+    while len(out) < n:
+        for kind, v in base:
+            if len(out) >= n:
+                break
+            scale = 1.0 + round_
+            out.append((kind, v * scale if kind == "shift" else 1.0 + (v - 1.0) * scale))
+        round_ += 1
+    return out
+
+
+def augment_track(
+    stems: dict[str, np.ndarray],
+    mix: np.ndarray,
+    notes: list[list[Note]] | None,
+    fs: int,
+    kind: str,
+    value: float,
+) -> tuple[dict[str, np.ndarray], np.ndarray, list[list[Note]] | None]:
+    """Apply one augmentation variant consistently to audio AND score."""
+    if kind == "shift":
+        f = lambda a: shift_audio(a, value, fs)  # noqa: E731
+        g = lambda ns: shift_notes(ns, value)  # noqa: E731
+    elif kind == "stretch":
+        f = lambda a: stretch_audio(a, value)  # noqa: E731
+        g = lambda ns: stretch_notes(ns, value)  # noqa: E731
+    else:
+        raise ValueError(f"unknown augmentation kind {kind!r}")
+    return (
+        {s: f(a) for s, a in stems.items()},
+        f(mix),
+        None if notes is None else [g(ns) for ns in notes],
+    )
+
+
 def score_mask(
     notes: list[Note],
     n_frames: int,

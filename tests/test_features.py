@@ -88,3 +88,50 @@ def test_score_informed_feature_files(tmp_path):
     (d / "vocals.notes.txt").unlink()
     with pytest.raises(FileNotFoundError, match="notes.txt"):
         compute_features(str(adir), str(tmp_path / "f2"), preset, score_informed=True)
+
+
+def test_augmented_feature_copies_alignment(tmp_path):
+    """--augment emits N extra tracks whose score channels stay aligned with
+    the shifted/stretched audio (VERDICT r1 #7)."""
+    from convsep_tpu.data import load_tensor
+
+    preset = tiny_preset("ikala")
+    adir = tmp_path / "audio"
+    d = adir / "t0"
+    d.mkdir(parents=True)
+    fs = FS
+    # a 220 Hz tone active only in [0.25, 0.75] s of a 1.5 s clip
+    n = int(1.5 * fs)
+    t = np.arange(n) / fs
+    voc = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    voc[: int(0.25 * fs)] = 0.0
+    voc[int(0.75 * fs):] = 0.0
+    acc = (0.3 * np.sin(2 * np.pi * 1400.0 * t)).astype(np.float32)
+    write_wav(d / "vocals.wav", fs, voc)
+    write_wav(d / "accompaniment.wav", fs, acc)
+    (d / "vocals.notes.txt").write_text("0.25 0.75 57\n")
+    (d / "accompaniment.notes.txt").write_text("0.0 1.5 89\n")
+    out = tmp_path / "feats"
+    names = compute_features(str(adir), str(out), preset, score_informed=True, augment=3)
+    assert names == ["t0", "t0.aug1", "t0.aug2", "t0.aug3"]
+
+    hop = preset.transform.hop_size
+    for name, active in [("t0", (0.25, 0.75)), ("t0.aug1", (0.35, 0.85)),
+                         ("t0.aug2", (0.15, 0.65)), ("t0.aug3", (0.225, 0.675))]:
+        voc_mag = load_tensor(str(out / f"{name}.vocals.data"))
+        sc = load_tensor(str(out / f"{name}.score_vocals.data"))
+        # where the stem actually has energy, the score channel passes it
+        frame_t = np.arange(voc_mag.shape[0]) * hop / fs
+        mid = (frame_t > active[0] + 0.1) & (frame_t < active[1] - 0.1)
+        outside = frame_t > active[1] + 0.3
+        assert voc_mag[mid].max() > 10 * max(voc_mag[outside].max(), 1e-6), name
+        assert sc[mid].max() > 0.5 * voc_mag[mid].max(), name
+        # and blocks it where the (shifted/stretched) note is inactive
+        assert sc[outside].max() < 0.05 * sc[mid].max(), name
+    # every augmented copy is a full track: dataset picks all 4 up
+    from convsep_tpu.data import SegmentDataset
+
+    ds = SegmentDataset(str(out), ("vocals", "accompaniment"),
+                        time_context=10, overlap=0,
+                        extra_channels=("score_vocals", "score_accompaniment"))
+    assert len(ds._tracks) == 4
