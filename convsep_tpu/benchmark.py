@@ -61,11 +61,17 @@ def run_benchmark(
     np.asarray(stems[:, :8])
     compile_s = time.perf_counter() - t0
 
+    # e2e uses PCM16 both ways: wav-precision int16 upload (dequantized on
+    # device) + int16 stems — the minimum bytes the tunnel must move
+    host_pcm16 = np.clip(host_audio * 32768.0, -32768, 32767).astype(np.int16)
+    stems = fused(jnp.asarray(host_pcm16))
+    np.asarray(stems[:, :8])  # compile the int16-ingest variant
+
     t_compute, t_fetch, t_e2e = [], [], []
     for _ in range(runs):
         # e2e: upload → fused program → tiny barrier → full PCM16 download
         t0 = time.perf_counter()
-        dev_audio = jnp.asarray(host_audio)
+        dev_audio = jnp.asarray(host_pcm16)
         stems = fused(dev_audio)
         np.asarray(stems[:, :8])  # dependent tiny fetch = compute barrier
         t1 = time.perf_counter()
@@ -119,6 +125,18 @@ def run_benchmark(
     per_track_b = (time.perf_counter() - t0) / (B * reps)
     rtf_batched = audio_sec / per_track_b
 
+    # streaming e2e throughput: StreamSeparator overlaps upload/compute with
+    # the previous batch's stem download — per-track wall approaches the
+    # tunnel-bandwidth floor (docs/TRANSFER_CEILING.md)
+    from convsep_tpu.separate.stream import StreamSeparator
+
+    ss = StreamSeparator(preset, params, output_dtype="int16", input_dtype="int16")
+    ktracks = [host_pcm16 + np.int16(i % 3) for i in range(6)]
+    list(ss.stream(iter(ktracks[:2]), batch_size=2))  # warm (same shapes)
+    t0 = time.perf_counter()
+    n_done = sum(len(b) for b in ss.stream(iter(ktracks), batch_size=2))
+    rtf_e2e_stream = audio_sec / ((time.perf_counter() - t0) / n_done)
+
     # same program with the Pallas DSP kernels (fft_impl="pallas"), smaller
     # B / fewer reps — recorded for the matmul-vs-pallas decision (the
     # committed profile: docs/PALLAS_PROFILE.md; matmul is default because
@@ -170,6 +188,7 @@ def run_benchmark(
             ),
             "e2e_median_s": med_e,
             "rtf_e2e_incl_transfers": round(rtf_e2e, 2),
+            "rtf_e2e_streaming": round(rtf_e2e_stream, 2),
             "stem_fetch_median_s": float(np.median(t_fetch)),
             "stems_dtype": "int16 (PCM16, quantized on device)",
             "compile_plus_first_run_s": round(compile_s, 2),

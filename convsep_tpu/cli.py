@@ -153,7 +153,7 @@ def _cmd_separate(args) -> int:
             mag, notes, fs=preset.transform.fs, hop=preset.transform.hop_size
         ) * preset.train.mult_factor_in
     # stems quantized to PCM16 on device — the wav precision, half the transfer
-    sep = Separator(preset, params, output_dtype="int16")
+    sep = Separator(preset, params, output_dtype="int16", input_dtype="int16")
     os.makedirs(args.out, exist_ok=True)
     if stereo:
         # per-channel separation through the same compiled program → stereo stems
@@ -198,7 +198,7 @@ def _cmd_separate_batch(args) -> int:
                 raise ValueError(f"{n}: fs {fs} != preset fs {preset.transform.fs}")
             yield audio.mean(axis=1) if audio.ndim == 2 else audio
 
-    ss = StreamSeparator(preset, params, mesh=mesh, output_dtype="int16")
+    ss = StreamSeparator(preset, params, mesh=mesh, output_dtype="int16", input_dtype="int16")
     done = 0
     it = iter(names)
     for batch in ss.stream(tracks(), batch_size=args.batch_size):

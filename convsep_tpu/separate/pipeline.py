@@ -79,6 +79,11 @@ def separate_fused(
     the bottleneck on tunneled runtimes).
     """
     t, m, tr = preset.transform, preset.model, preset.train
+    if audio.dtype == jnp.int16:
+        # PCM16 ingest: wav-precision samples at HALF the host→device bytes
+        # (the host link dominates e2e on tunneled runtimes); dequantized on
+        # device with the exact inverse of the int16 output quantization
+        audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
     win = _window(preset)
     if t.fft_impl == "matmul":
         # real-valued MXU path: no complex dtype anywhere (dsp/dft.py)
@@ -153,18 +158,39 @@ class Separator:
     >>> stems = sep(audio)           # (num_sources, len(audio)) float32
     """
 
-    def __init__(self, preset: Preset, params, apply_fn=None, output_dtype: str = "float32"):
+    def __init__(
+        self,
+        preset: Preset,
+        params,
+        apply_fn=None,
+        output_dtype: str = "float32",
+        input_dtype: str = "float32",
+    ):
         self.preset = preset
         self.params = params
         self.apply_fn = apply_fn
         if output_dtype not in ("float32", "int16"):
             raise ValueError(f"output_dtype must be float32|int16, got {output_dtype}")
+        if input_dtype not in ("float32", "int16"):
+            raise ValueError(f"input_dtype must be float32|int16, got {input_dtype}")
         self.output_dtype = output_dtype
+        self.input_dtype = input_dtype
+
+    def _prepare(self, audio: np.ndarray) -> np.ndarray:
+        """Cast per input_dtype: int16 halves the upload; PCM16 wavs
+        round-trip exactly (the device dequantizes by 1/32768)."""
+        if self.input_dtype == "int16":
+            if audio.dtype == np.int16:
+                return audio
+            return np.clip(
+                np.asarray(audio, np.float32) * 32768.0, -32768, 32767
+            ).astype(np.int16)
+        return np.asarray(audio, np.float32)
 
     def __call__(self, audio: np.ndarray, extra: np.ndarray | None = None) -> np.ndarray:
         """→ (num_sources, len) stems; float32 in [-1,1] or PCM int16 per
         `output_dtype` (int16 halves the device→host transfer)."""
-        audio = np.asarray(audio, np.float32)
+        audio = self._prepare(audio)
         if audio.ndim != 1:
             raise ValueError(f"expected mono (length,) audio, got {audio.shape}")
         L = len(audio)

@@ -79,11 +79,13 @@ class StreamSeparator:
         mesh=None,
         apply_fn=None,
         output_dtype: str = "float32",
+        input_dtype: str = "float32",
     ):
         self.preset = preset
         self.mesh = mesh
         self.apply_fn = apply_fn
         self.output_dtype = output_dtype
+        self.input_dtype = input_dtype
         if mesh is not None:
             params = jax.device_put(params, replicated(mesh))
         self.params = params
@@ -95,8 +97,11 @@ class StreamSeparator:
         if self.mesh is not None:  # batch axis must divide the data axis
             d = self.mesh.shape["data"]
             n = -(-n // d) * d
-        stacked = np.zeros((n, Lb), np.float32)
+        dt = np.int16 if self.input_dtype == "int16" else np.float32
+        stacked = np.zeros((n, Lb), dt)
         for i, t in enumerate(batch):
+            if dt == np.int16 and t.dtype != np.int16:
+                t = np.clip(np.asarray(t, np.float32) * 32768.0, -32768, 32767).astype(np.int16)
             stacked[i, : len(t)] = t
         return stacked, lengths
 
@@ -147,16 +152,26 @@ class StreamSeparator:
                 q.put(e)
 
         threading.Thread(target=producer, daemon=True).start()
+        # dispatch batch k+1 BEFORE fetching batch k's stems: jax dispatch
+        # is async, so the k+1 compute runs under k's device→host transfer
+        # (on tunneled links the transfer dominates — VERDICT r1 #8)
+        pending: tuple | None = None
         while True:
             item = q.get()
             if item is _END:
-                return
+                break
             if isinstance(item, Exception):
                 raise item
             dev, lengths = item
-            out = np.asarray(
-                self._batch_fn()(
-                    self.params, dev, self.preset, dev.shape[1], self.apply_fn, self.output_dtype
-                )
+            out_dev = self._batch_fn()(
+                self.params, dev, self.preset, dev.shape[1], self.apply_fn, self.output_dtype
             )
-            yield [out[i, :, : lengths[i]] for i in range(len(lengths))]
+            if pending is not None:
+                prev_out, prev_lengths = pending
+                prev = np.asarray(prev_out)
+                yield [prev[i, :, : prev_lengths[i]] for i in range(len(prev_lengths))]
+            pending = (out_dev, lengths)
+        if pending is not None:
+            prev_out, prev_lengths = pending
+            prev = np.asarray(prev_out)
+            yield [prev[i, :, : prev_lengths[i]] for i in range(len(prev_lengths))]

@@ -1,0 +1,39 @@
+"""Device→host transfer helpers for slow (tunneled) links.
+
+BASELINE.md measured this sandbox's single-stream device→host fetch at
+~27 MB/s but ~37 MB/s aggregate over 4 concurrent streams — the link is
+per-RPC-stream limited, not bandwidth limited. `fetch_parallel` splits a
+device array along its leading axis and fetches the slices on a small
+thread pool (each `np.asarray` is an independent RPC stream); callers use
+it for multi-stem / multi-track outputs. On fast local links it degrades
+gracefully to ~the single-stream cost.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+_POOL: ThreadPoolExecutor | None = None
+
+
+def _pool() -> ThreadPoolExecutor:
+    global _POOL
+    if _POOL is None:
+        _POOL = ThreadPoolExecutor(max_workers=4, thread_name_prefix="convsep-fetch")
+    return _POOL
+
+
+def fetch_parallel(dev_array, max_streams: int = 4) -> np.ndarray:
+    """np.asarray(dev_array) with leading-axis slices fetched concurrently."""
+    n = int(dev_array.shape[0])
+    if n <= 1:
+        return np.asarray(dev_array)
+    streams = min(n, max_streams)
+    # slice on device first (cheap) so each future fetches its own buffer
+    parts = [dev_array[i] for i in range(n)]
+    futs = [_pool().submit(np.asarray, p) for p in parts]
+    out = [f.result() for f in futs]
+    del streams
+    return np.stack(out)
