@@ -58,6 +58,8 @@ def _cmd_train(args) -> int:
             seg,
             overlap_samples=seg // 3,
             fs=preset.transform.fs,
+            # stereo-native presets (*-stereo) train on both channels jointly
+            stereo=preset.model.decoder_reduce == "all",
         )
     else:
         if args.score_informed:
@@ -136,6 +138,21 @@ def _cmd_separate(args) -> int:
     fs, audio = read_wav(args.input)
     if fs != preset.transform.fs:
         raise ValueError(f"{args.input}: fs {fs} != preset fs {preset.transform.fs}")
+    if preset.model.decoder_reduce == "all":
+        # stereo-native joint preset (*-stereo): one forward for both ears
+        from convsep_tpu.separate.stereo import StereoSeparator
+
+        if audio.ndim != 2:
+            raise ValueError(f"preset {preset.name!r} needs a stereo input wav")
+        if args.score:
+            raise ValueError("score conditioning is not supported by stereo presets")
+        ssep = StereoSeparator(preset, params, output_dtype="int16", input_dtype="int16")
+        stems = ssep(audio)  # (S, L, 2)
+        os.makedirs(args.out, exist_ok=True)
+        for name, stem in zip(preset.sources, stems):
+            write_wav(os.path.join(args.out, f"{name}.wav"), fs, stem)
+        print(f"wrote {len(preset.sources)} stereo stems -> {args.out}")
+        return 0
     stereo = audio.ndim == 2 and args.stereo
     if audio.ndim == 2 and not stereo:
         audio = audio.mean(axis=1)

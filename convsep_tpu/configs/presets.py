@@ -187,12 +187,33 @@ def _multires4096() -> Preset:
     )
 
 
+def stereo_preset(base: Preset) -> Preset:
+    """Stereo-native joint-channel variant of a mono preset.
+
+    Both channel magnitudes become model input channels and the tied
+    decoder keeps per-channel estimates (`decoder_reduce="all"`), so one
+    forward separates both ears jointly (separate/stereo.py; the reference
+    was mono-only — ROADMAP r1 #4). Only plain single-channel presets can
+    be lifted: score/multires presets already use the channel axis.
+    """
+    if base.model.channels_in != 1 or base.transform.multires:
+        raise ValueError(f"preset {base.name!r} is not a plain mono preset")
+    return dataclasses.replace(
+        base,
+        name=base.name + "-stereo",
+        model=dataclasses.replace(base.model, channels_in=2, decoder_reduce="all"),
+    )
+
+
 PRESETS = {
     "ikala": _ikala,
     "dsd100": _dsd100,
     "bach10": _bach10,
     "highres4096": _highres4096,
     "multires4096": _multires4096,
+    "ikala-stereo": lambda: stereo_preset(_ikala()),
+    "dsd100-stereo": lambda: stereo_preset(_dsd100()),
+    "highres4096-stereo": lambda: stereo_preset(_highres4096()),
 }
 
 

@@ -42,8 +42,19 @@ class AudioSegmentDataset:
     seg_samples: int
     overlap_samples: int = 0
     fs: int = 44100
+    # stereo-native mode: keep both wav channels → mixture segments (2, seg)
+    # and targets (S, 2, seg) for the joint-channel model (separate/stereo.py)
+    stereo: bool = False
     _tracks: list[dict] = field(default_factory=list, init=False)
     _index: list[tuple[int, int]] = field(default_factory=list, init=False)
+
+    def _channels(self, a: np.ndarray) -> np.ndarray:
+        """wav array → mono (n,) or stereo (2, n) per the dataset mode."""
+        if self.stereo:
+            if a.ndim == 1:  # mono stem in a stereo run: center-panned
+                return np.stack([a, a])
+            return np.asarray(a).T[:2]
+        return a.mean(axis=1) if a.ndim == 2 else a
 
     def __post_init__(self):
         if not (0 <= self.overlap_samples < self.seg_samples):
@@ -61,13 +72,13 @@ class AudioSegmentDataset:
                 fs, a = read_wav(os.path.join(tdir, f"{s}.wav"))
                 if fs != self.fs:
                     raise ValueError(f"{name}/{s}: fs {fs} != {self.fs}")
-                stems[s] = a.mean(axis=1) if a.ndim == 2 else a
-            n = min(len(a) for a in stems.values())
-            stems = {s: a[:n] for s, a in stems.items()}
+                stems[s] = self._channels(a)
+            n = min(a.shape[-1] for a in stems.values())
+            stems = {s: a[..., :n] for s, a in stems.items()}
             mp = os.path.join(tdir, "mixture.wav")
             if os.path.exists(mp):
                 _, mix = read_wav(mp)
-                mix = (mix.mean(axis=1) if mix.ndim == 2 else mix)[:n]
+                mix = self._channels(mix)[..., :n]
             else:
                 mix = np.sum(list(stems.values()), axis=0)
             ti = len(self._tracks)
@@ -80,9 +91,10 @@ class AudioSegmentDataset:
         return len(self._index)
 
     def _slice(self, a: np.ndarray, start: int) -> np.ndarray:
-        seg = np.asarray(a[start : start + self.seg_samples], np.float32)
-        if len(seg) < self.seg_samples:
-            seg = np.pad(seg, (0, self.seg_samples - len(seg)))
+        seg = np.asarray(a[..., start : start + self.seg_samples], np.float32)
+        short = self.seg_samples - seg.shape[-1]
+        if short > 0:
+            seg = np.pad(seg, [(0, 0)] * (seg.ndim - 1) + [(0, short)])
         return seg
 
     def get(self, i: int) -> tuple[np.ndarray, np.ndarray]:

@@ -62,7 +62,10 @@ class ConvSepConfig:
     bottleneck: int = 128
     # How the decoder collapses the input-channel axis back to one magnitude
     # plane when channels_in > 1 (score-informed runs). "first" keeps the
-    # mixture channel, "sum" sums all reconstructed channels.
+    # mixture channel, "sum" sums all reconstructed channels, "all" keeps
+    # every channel — per-channel source estimates (B, S, C, T, F), the
+    # stereo-native joint model (both ears in one forward; the reference
+    # was mono-only, SURVEY.md §2.1 #5).
     decoder_reduce: str = "first"
     # MXU compute dtype: "float32" (parity) or "bfloat16" (speed; params stay
     # float32, activations/matmuls run bf16, output cast back to float32).
@@ -200,8 +203,14 @@ class ConvSep(nn.Module):
     config: ConvSepConfig
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        """(B, T, F, C) → (B, T, F, S) nonnegative source estimates."""
-        return self.sources(x).transpose(0, 2, 3, 1)
+        """(B, T, F, C) → (B, T, F, S) nonnegative source estimates.
+
+        With ``decoder_reduce="all"`` (stereo-native): (B, T, F, S, C).
+        """
+        y = self.sources(x)
+        if self.config.decoder_reduce == "all":
+            return y.transpose(0, 2, 3, 1, 4)
+        return y.transpose(0, 2, 3, 1)
 
     @nn.compact
     def sources(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -255,6 +264,13 @@ class ConvSep(nn.Module):
         d1 = decode(d2, k1c, s1, (cfg.time_context, cfg.feat_size))
         # (B*S, T, F, C) → collapse channels → (B, S, T, F); leading-dim
         # reshape only — no materialized transpose
+        out_bias = self.param("out_bias", nn.initializers.zeros, (S,))
+        if cfg.decoder_reduce == "all":
+            # stereo-native joint model: keep per-channel source estimates
+            # (B, S, T, F, C) — trailing channel broadcasts through the
+            # Wiener mask exactly like the mono layouts
+            y = d1.reshape(B, S, cfg.time_context, cfg.feat_size, C)
+            return nn.relu(y.astype(jnp.float32) + out_bias[:, None, None, None])
         if cfg.decoder_reduce == "first":
             d = d1[..., 0]
         elif cfg.decoder_reduce == "sum":
@@ -263,7 +279,6 @@ class ConvSep(nn.Module):
             raise ValueError(f"unknown decoder_reduce {cfg.decoder_reduce!r}")
         y = d.reshape(B, S, cfg.time_context, cfg.feat_size)
 
-        out_bias = self.param("out_bias", nn.initializers.zeros, (S,))
         return nn.relu(y.astype(jnp.float32) + out_bias[:, None, None])
 
     def separate(

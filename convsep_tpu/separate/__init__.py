@@ -1,6 +1,7 @@
 """Separation (inference) layer: fused whole-track and batched streaming."""
 
 from convsep_tpu.separate.pipeline import Separator, separate_fused, bucket_length
+from convsep_tpu.separate.stereo import StereoSeparator, separate_fused_stereo
 from convsep_tpu.separate.stream import (
     StreamSeparator,
     separate_batch,
@@ -11,6 +12,8 @@ __all__ = [
     "Separator",
     "separate_fused",
     "bucket_length",
+    "StereoSeparator",
+    "separate_fused_stereo",
     "StreamSeparator",
     "separate_batch",
     "separate_batch_scan",

@@ -56,6 +56,26 @@ def make_audio_loss_fn(preset: Preset) -> Callable:
             re, im = stft_matmul(audio, win, t.hop_size, t.nfft)
         return scale_magnitude(jnp.sqrt(re * re + im * im), t.iscale)
 
+    def stereo_loss_fn(params, mix, stems):
+        # stereo-native joint model: mix (B, 2, seg), stems (B, S, 2, seg)
+        B = mix.shape[0]
+        if mix.shape[-1] != seg:
+            raise ValueError(f"segment length {mix.shape[-1]} != required {seg}")
+        x = mag_of(mix) * tr.mult_factor_in  # (B, 2, T, F)
+        x = x.transpose(0, 2, 3, 1)  # (B, T, F, 2)
+        y_t = (
+            mag_of(stems.reshape(-1, seg)).reshape(
+                B, m.num_sources, 2, m.time_context, m.feat_size
+            )
+            * tr.mult_factor_out
+        ).transpose(0, 1, 3, 4, 2)  # (B, S, T, F, 2)
+        out = model.apply(params, x, method=ConvSep.sources)  # (B, S, T, F, 2)
+        est = wiener_filter(out, x, eps=preset.sep.wiener_eps, axis=1)
+        return separation_loss(est, y_t, interf, source_axis=1)
+
+    if m.decoder_reduce == "all":
+        return stereo_loss_fn
+
     def loss_fn(params, mix, stems):
         B = mix.shape[0]
         if mix.shape[-1] != seg:
