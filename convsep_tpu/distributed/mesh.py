@@ -15,34 +15,64 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    devices=None, data: int | None = None, model: int = 1, axis_names=("data", "model")
+    devices=None,
+    data: int | None = None,
+    model: int = 1,
+    dcn: int = 1,
+    axis_names=("data", "model"),
 ) -> Mesh:
-    """Build a (data, model) mesh over the available devices."""
+    """Build a (data, model) — or multi-slice (dcn, data, model) — mesh.
+
+    ``dcn > 1`` adds a leading inter-slice axis (SURVEY.md §5.8 / ROADMAP
+    r1 #6): the batch is sharded over ``("dcn", "data")`` jointly (see
+    `batch_sharding`), so gradient `psum`s reduce hierarchically — XLA
+    lowers the intra-slice part to ICI all-reduces and only the per-slice
+    partials cross the slower DCN links. On real multi-slice hardware pass
+    `devices` ordered slice-major (e.g. from
+    ``mesh_utils.create_hybrid_device_mesh``); anywhere else any device
+    list works — the axis semantics are identical.
+    """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if data is None:
-        data = n // model
-    if data * model > n:
-        raise ValueError(f"mesh {data}x{model} needs {data * model} devices, have {n}")
-    arr = np.asarray(devices[: data * model]).reshape(data, model)
+        data = n // (model * dcn)
+    need = data * model * dcn
+    if need > n:
+        raise ValueError(
+            f"mesh {dcn}x{data}x{model} needs {need} devices, have {n}"
+            if dcn > 1
+            else f"mesh {data}x{model} needs {need} devices, have {n}"
+        )
+    if dcn > 1:
+        arr = np.asarray(devices[:need]).reshape(dcn, data, model)
+        return Mesh(arr, axis_names=("dcn",) + tuple(axis_names))
+    arr = np.asarray(devices[:need]).reshape(data, model)
     return Mesh(arr, axis_names=axis_names)
 
 
+def _batch_axes(mesh: Mesh):
+    """Mesh axes the batch dimension shards over (dcn+data when multi-slice)."""
+    return ("dcn", "data") if "dcn" in mesh.axis_names else "data"
+
+
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard the leading (batch) axis over `data`, replicate the rest."""
-    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+    """Shard the leading (batch) axis over `data` (and `dcn` when present),
+    replicate the rest."""
+    return NamedSharding(mesh, P(_batch_axes(mesh), *([None] * (ndim - 1))))
 
 
 def put_leading(mesh: Mesh, item):
-    """device_put a pytree sharding each leaf's LEADING axis over `data`.
+    """device_put a pytree sharding each leaf's LEADING axis over the batch
+    mesh axes.
 
     Unlike a single fixed-rank NamedSharding broadcast over the tree, this
     handles mixed-rank batches — e.g. from-audio training batches are
     (B, seg) / (B, S, seg) while feature batches are (B, T, F, C)."""
+    axes = _batch_axes(mesh)
     return jax.tree_util.tree_map(
         lambda a: jax.device_put(
-            a, NamedSharding(mesh, P("data", *([None] * (max(np.ndim(a), 1) - 1))))
+            a, NamedSharding(mesh, P(axes, *([None] * (max(np.ndim(a), 1) - 1))))
         ),
         item,
     )

@@ -94,8 +94,8 @@ class StreamSeparator:
         lengths = [len(t) for t in batch]
         Lb = bucket_length(max(lengths), self.preset)
         n = len(batch)
-        if self.mesh is not None:  # batch axis must divide the data axis
-            d = self.mesh.shape["data"]
+        if self.mesh is not None:  # batch axis must divide the batch mesh axes
+            d = self.mesh.shape["data"] * self.mesh.shape.get("dcn", 1)
             n = -(-n // d) * d
         dt = np.int16 if self.input_dtype == "int16" else np.float32
         stacked = np.zeros((n, Lb), dt)
