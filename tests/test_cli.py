@@ -213,3 +213,40 @@ def test_train_from_audio_cli(audio_dir, tmp_path):
         "--workdir", wd, "--epochs", "1", "--from-audio",
     ]) == 0
     assert os.path.isdir(os.path.join(wd, "checkpoints"))
+
+
+def test_stereo_native_cli_journey(tmp_path, monkeypatch):
+    """*-stereo preset routing: train --from-audio on stereo wavs, then
+    separate through StereoSeparator (stereo stems out)."""
+    import scipy.io.wavfile as wavfile
+
+    from convsep_tpu.configs.presets import stereo_preset
+
+    monkeypatch.setitem(
+        presets_mod.PRESETS, "tinyikala-stereo", lambda: stereo_preset(_tiny_ikala())
+    )
+    root = tmp_path / "audio"
+    for i in range(2):
+        d = root / f"track{i}"
+        d.mkdir(parents=True)
+        stems, _ = sine_mixture(2, 2 * FS, fs=FS, freqs=(220.0, 1400.0), seed=i)
+        v = np.stack([0.9 * stems[0], 0.3 * stems[0]], axis=1)
+        a = np.stack([0.3 * stems[1], 0.9 * stems[1]], axis=1)
+        write_wav(d / "vocals.wav", FS, v)
+        write_wav(d / "accompaniment.wav", FS, a)
+        write_wav(d / "mixture.wav", FS, v + a)
+    wd = str(tmp_path / "run")
+    assert cli.main([
+        "train", "--preset", "tinyikala-stereo", "--features", str(root),
+        "--workdir", wd, "--epochs", "1", "--from-audio",
+    ]) == 0
+    mixp = str(root / "track0" / "mixture.wav")
+    out = str(tmp_path / "est")
+    assert cli.main([
+        "separate", "--preset", "tinyikala-stereo",
+        "--params", os.path.join(wd, "checkpoints"), "-i", mixp, "-o", out,
+    ]) == 0
+    fs, v = wavfile.read(os.path.join(out, "vocals.wav"))
+    assert fs == FS and v.ndim == 2 and v.shape[1] == 2 and v.dtype == np.int16
+    fs, a = wavfile.read(os.path.join(out, "accompaniment.wav"))
+    assert a.shape == v.shape
