@@ -137,7 +137,9 @@ def test_tied_conv_transpose_regular_matches_vjp(rng):
 
 
 def test_decoder_impls_agree(rng):
-    """ConvSep with decoder_impl=conv equals decoder_impl=conv_transpose."""
+    """All three tied-decoder implementations produce the same network:
+    band (banded-GEMM time stage, the default), conv (regular convs), and
+    conv_transpose (vjp-shaped reference formulation)."""
     import dataclasses
 
     cfg = ConvSepConfig(
@@ -145,10 +147,29 @@ def test_decoder_impls_agree(rng):
         conv1_filters=6, conv1_freq=9, conv1_freq_stride=2,
         conv2_filters=5, conv2_time=5, bottleneck=16,
     )
+    assert cfg.decoder_impl == "band"
     x = jnp.asarray(np.abs(rng.standard_normal((3, 12, 65, 1))).astype(np.float32))
-    m_conv = ConvSep(cfg)
-    params = m_conv.init(jax.random.PRNGKey(0), x)
-    m_ct = ConvSep(dataclasses.replace(cfg, decoder_impl="conv_transpose"))
-    a = np.asarray(m_conv.apply(params, x))
-    b = np.asarray(m_ct.apply(params, x))
-    np.testing.assert_allclose(a, b, atol=1e-4)
+    m_band = ConvSep(cfg)
+    params = m_band.init(jax.random.PRNGKey(0), x)
+    a = np.asarray(m_band.apply(params, x))
+    for impl in ("conv", "conv_transpose"):
+        m = ConvSep(dataclasses.replace(cfg, decoder_impl=impl))
+        b = np.asarray(m.apply(params, x))
+        np.testing.assert_allclose(a, b, atol=1e-4, err_msg=impl)
+
+
+def test_band_decode_matches_regular(rng):
+    """tied_conv_transpose_band == tied_conv_transpose_regular for the
+    (kh, 1, I, O) stride-1 time-stage kernels it handles."""
+    from convsep_tpu.models.convsep import (
+        tied_conv_transpose_band,
+        tied_conv_transpose_regular,
+    )
+
+    for kh, Tp, W, I, O in ((15, 16, 162, 7, 5), (5, 6, 9, 3, 3), (1, 8, 4, 2, 6)):
+        y = jnp.asarray(rng.standard_normal((2, Tp, W, O)).astype(np.float32))
+        k = jnp.asarray((rng.standard_normal((kh, 1, I, O)) * 0.2).astype(np.float32))
+        T = Tp + kh - 1
+        ref = np.asarray(tied_conv_transpose_regular(y, k, (1, 1), (T, W)))
+        got = np.asarray(tied_conv_transpose_band(y, k))
+        np.testing.assert_allclose(got, ref, atol=2e-5)

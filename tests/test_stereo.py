@@ -185,12 +185,17 @@ def test_stereo_e2e_train_loss_decreases(stereo_audio_root, preset):
     )
     state, opt = create_train_state(preset, 0)
     step = make_audio_train_step(preset, opt)
-    first = last = None
-    for epoch in range(4):
+    # Per-batch losses are very noisy on this tiny fixture (0.005-0.09 within
+    # one epoch) and adadelta over-shoots after ~6 epochs, so compare EPOCH
+    # MEANS with a margin instead of single first/last batch losses.
+    epoch_means = []
+    for epoch in range(6):
+        losses = []
         for mix, stems in ds.batches(4, shuffle=True, seed=epoch):
             state, loss = step(state, jnp.asarray(mix), jnp.asarray(stems))
-            if first is None:
-                first = float(loss)
-            last = float(loss)
-    assert np.isfinite(last)
-    assert last < first, f"stereo e2e loss did not decrease: {first} -> {last}"
+            losses.append(float(loss))
+        epoch_means.append(float(np.mean(losses)))
+    assert np.isfinite(epoch_means).all()
+    assert min(epoch_means[1:]) < 0.9 * epoch_means[0], (
+        f"stereo e2e loss did not decrease: epoch means {epoch_means}"
+    )
