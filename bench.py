@@ -24,7 +24,7 @@ def main() -> int:
     enable_compilation_cache()
     from convsep_tpu.benchmark import run_benchmark
 
-    result = run_benchmark(args.preset, seconds=args.seconds, runs=args.runs)
+    result = run_benchmark(args.preset, seconds=args.seconds, runs=args.runs, matrix=True)
     print(json.dumps(result))
     return 0
 

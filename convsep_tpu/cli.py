@@ -297,7 +297,7 @@ def _cmd_convert(args) -> int:
 def _cmd_bench(args) -> int:
     from convsep_tpu.benchmark import run_benchmark
 
-    print(json.dumps(run_benchmark(args.preset, seconds=args.seconds, runs=args.runs)))
+    print(json.dumps(run_benchmark(args.preset, seconds=args.seconds, runs=args.runs, matrix=args.matrix)))
     return 0
 
 
@@ -379,6 +379,12 @@ def main(argv=None) -> int:
     be.add_argument("--preset", default="dsd100")
     be.add_argument("--seconds", type=float, default=30.0)
     be.add_argument("--runs", type=int, default=5)
+    be.add_argument(
+        "--matrix",
+        action=argparse.BooleanOptionalAction,
+        default=False,
+        help="also bench the whole preset matrix (driver bench.py turns this on)",
+    )
     be.set_defaults(fn=_cmd_bench)
 
     args = p.parse_args(argv)

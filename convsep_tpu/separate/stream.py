@@ -130,7 +130,11 @@ class StreamSeparator:
         def batches():
             buf = []
             for t in tracks:
-                buf.append(np.asarray(t, np.float32))
+                # keep int16 as-is: _bucket would re-quantize a float32 copy
+                # of PCM16 VALUES (×32768 → saturation); float conversion is
+                # only for float-ish inputs
+                t = np.asarray(t)
+                buf.append(t if t.dtype == np.int16 else np.asarray(t, np.float32))
                 if len(buf) == batch_size:
                     yield self._bucket(buf)
                     buf = []

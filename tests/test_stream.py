@@ -144,3 +144,22 @@ def test_separate_batch_scan_matches_vmap(setup):
     a = np.asarray(separate_batch(params, jnp.asarray(stacked), preset, Lb))
     b = np.asarray(separate_batch_scan(params, jnp.asarray(stacked), preset, Lb))
     np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_stream_int16_input_not_requantized(setup):
+    """PCM16 tracks through stream(input_dtype=int16) must match the float
+    path — regression: int16 inputs were converted to float32 VALUES and
+    then re-quantized with a second x32768 (full-scale saturation)."""
+    preset, params = setup
+    tracks = _tracks(3)
+    pcm = [np.clip(t * 32768.0, -32768, 32767).astype(np.int16) for t in tracks]
+    f32 = list(StreamSeparator(preset, params).stream(iter(tracks), batch_size=2))
+    i16 = list(
+        StreamSeparator(preset, params, input_dtype="int16").stream(
+            iter(pcm), batch_size=2
+        )
+    )
+    got = [o for b in i16 for o in b]
+    want = [o for b in f32 for o in b]
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=2e-3)
