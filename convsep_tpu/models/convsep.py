@@ -206,6 +206,52 @@ def tied_conv_transpose_band(y: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray
     return jnp.einsum("nhwo,hHoi->nHwi", y, band)
 
 
+def freq_decode_wmajor(
+    y: jnp.ndarray,
+    kernel: jnp.ndarray,
+    stride: int,
+    out_freq: int,
+) -> jnp.ndarray:
+    """Freq-stage decode consuming the W-MAJOR band-kernel layout.
+
+    `y` is (N, W', T, O) — the Pallas band stage's output orientation
+    (models/decoder_pallas.py) — and the result is (N, T, F, I), matching
+    `tied_conv_transpose_regular(..., k1, ...)` on the (N, T, W', O)
+    orientation. Same phase-decomposition math with the conv taken along
+    axis 1; the only materialized transposes are on the (F, T, I)-sized
+    result (~24 MB for a dsd100 track), not the 100 MB fold.
+    """
+    kh, kw, I, O = kernel.shape
+    if kh != 1:
+        raise ValueError(f"freq decode expects a (1, kw, I, O) kernel, got {kernel.shape}")
+    ktaps = -(-kw // stride)
+    k = kernel
+    if ktaps * stride != kw:
+        k = jnp.pad(k, ((0, 0), (0, ktaps * stride - kw), (0, 0), (0, 0)))
+    # taps flipped, out channels ordered (phase, in-channel); conv runs
+    # along dim 1 (the freq' axis) with a singleton tap over dim 2 (time)
+    k = k.reshape(ktaps, stride, I, O)[::-1]
+    k = k.transpose(0, 3, 1, 2).reshape(ktaps, 1, O, stride * I)
+    o = jax.lax.conv_general_dilated(
+        y,
+        k,
+        (1, 1),
+        [(ktaps - 1, ktaps - 1), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (N, W'+ktaps-1, T, stride*I)
+    N, Wo, T, _ = o.shape
+    # phase merge: (Wo, stride) → freq bins, then reorient to (N, T, F, I)
+    o = o.reshape(N, Wo, T, stride, I).transpose(0, 1, 3, 2, 4)
+    o = o.reshape(N, Wo * stride, T, I)
+    w_full = (y.shape[1] - 1) * stride + kw
+    o = o[:, :w_full]
+    if out_freq < o.shape[1]:
+        raise ValueError(f"decode output {o.shape} exceeds target freq {out_freq}")
+    if out_freq > o.shape[1]:
+        o = jnp.pad(o, ((0, 0), (0, out_freq - o.shape[1]), (0, 0), (0, 0)))
+    return o.transpose(0, 2, 1, 3)
+
+
 def _pad_to(out: jnp.ndarray, out_spatial: Sequence[int]) -> jnp.ndarray:
     pads = [(0, 0)]
     for got, want in zip(out.shape[1:-1], out_spatial):
@@ -214,6 +260,15 @@ def _pad_to(out: jnp.ndarray, out_spatial: Sequence[int]) -> jnp.ndarray:
         pads.append((0, want - got))
     pads.append((0, 0))
     return jnp.pad(out, pads) if any(p != (0, 0) for p in pads) else out
+
+
+def trainable_config(cfg: "ConvSepConfig") -> "ConvSepConfig":
+    """Differentiable-equivalent config: the Pallas band stage has no vjp,
+    so training paths swap decoder_impl="band_pallas" for the identical-
+    math (and identically-parameterized) einsum formulation."""
+    if cfg.decoder_impl == "band_pallas":
+        return dataclasses.replace(cfg, decoder_impl="band")
+    return cfg
 
 
 class ConvSep(nn.Module):
@@ -286,7 +341,18 @@ class ConvSep(nn.Module):
         exp = nn.relu(exp)
         # fold sources into batch for the grouped transposed convs
         z = exp.reshape(B * S, cfg.enc_time, cfg.enc_freq, cfg.conv2_filters)
-        if cfg.decoder_impl == "band":
+        if cfg.decoder_impl == "band_pallas":
+            # Mosaic band stage (inference-only: no vjp registered) — the
+            # fold is consumed row-major, so neither the 100 MB relayout
+            # copy nor the (T,F)-plane transpose ever materializes
+            from convsep_tpu.models.decoder_pallas import band_decode_pallas
+
+            d2wm = band_decode_pallas(z, k2c, cfg.time_context)
+            d2wm = d2wm.reshape(
+                B * S, cfg.enc_freq, cfg.time_context, cfg.conv1_filters
+            )
+            d1 = freq_decode_wmajor(d2wm, k1c, cfg.conv1_freq_stride, cfg.feat_size)
+        elif cfg.decoder_impl == "band":
             d2 = tied_conv_transpose_band(z, k2c)
             d1 = tied_conv_transpose_regular(
                 d2, k1c, s1, (cfg.time_context, cfg.feat_size)

@@ -26,7 +26,7 @@ from convsep_tpu.data.audio_dataset import segment_samples
 from convsep_tpu.dsp.dft import stft_matmul
 from convsep_tpu.dsp.stft import scale_magnitude
 from convsep_tpu.dsp.windows import hann, sinebell
-from convsep_tpu.models.convsep import ConvSep
+from convsep_tpu.models.convsep import ConvSep, trainable_config
 from convsep_tpu.models.masks import wiener_filter
 from convsep_tpu.train.losses import interference_matrix, separation_loss
 from convsep_tpu.train.loop import TrainState
@@ -34,7 +34,7 @@ from convsep_tpu.train.loop import TrainState
 
 def make_audio_loss_fn(preset: Preset) -> Callable:
     """(params, mix (B, seg), stems (B, S, seg)) → loss; STFT on device."""
-    t, m, tr = preset.transform, preset.model, preset.train
+    t, m, tr = preset.transform, trainable_config(preset.model), preset.train
     win = (sinebell if t.window == "sinebell" else hann)(t.frame_size)
     seg = segment_samples(preset)
     model = ConvSep(m)

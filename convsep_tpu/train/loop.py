@@ -29,7 +29,7 @@ import optax
 from convsep_tpu.configs.presets import Preset
 from convsep_tpu.data.pipeline import SegmentDataset, prefetch_to_device
 from convsep_tpu.distributed.mesh import put_leading, replicated
-from convsep_tpu.models.convsep import ConvSep
+from convsep_tpu.models.convsep import ConvSep, trainable_config
 from convsep_tpu.models.masks import wiener_filter
 from convsep_tpu.train.losses import interference_matrix, separation_loss
 from convsep_tpu.train.optim import make_optimizer
@@ -48,7 +48,7 @@ class TrainState:
 def create_train_state(preset: Preset, rng: jax.Array | int = 0) -> tuple[TrainState, optax.GradientTransformation]:
     if isinstance(rng, int):
         rng = jax.random.PRNGKey(rng)
-    cfg = preset.model
+    cfg = trainable_config(preset.model)
     model = ConvSep(cfg)
     x0 = jnp.zeros((1, cfg.time_context, cfg.feat_size, cfg.channels_in))
     params = model.init(rng, x0)
@@ -64,7 +64,7 @@ def make_train_step(
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, jnp.ndarray]]:
     """Build the jitted train step: (state, x (B,T,F,C), y (B,S,T,F)) →
     (state, loss). State buffers are donated (updated in place in HBM)."""
-    cfg = preset.model
+    cfg = trainable_config(preset.model)
     tr = preset.train
     model = ConvSep(cfg)
     interf = interference_matrix(
@@ -100,7 +100,7 @@ def make_eval_step(preset: Preset, from_audio: bool = False) -> Callable:
         from convsep_tpu.train.e2e import make_audio_loss_fn
 
         return jax.jit(make_audio_loss_fn(preset))
-    cfg = preset.model
+    cfg = trainable_config(preset.model)
     tr = preset.train
     model = ConvSep(cfg)
     interf = interference_matrix(

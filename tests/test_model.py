@@ -173,3 +173,52 @@ def test_band_decode_matches_regular(rng):
         ref = np.asarray(tied_conv_transpose_regular(y, k, (1, 1), (T, W)))
         got = np.asarray(tied_conv_transpose_band(y, k))
         np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_band_pallas_decoder_matches_band(rng):
+    """decoder_impl="band_pallas" (Mosaic band stage + w-major freq decode,
+    interpret mode here) == decoder_impl="band" on the same params."""
+    import dataclasses
+
+    for stride, feat in ((2, 65), (3, 64)):
+        cfg = ConvSepConfig(
+            time_context=12, feat_size=feat, channels_in=1, num_sources=3,
+            conv1_filters=6, conv1_freq=9, conv1_freq_stride=stride,
+            conv2_filters=5, conv2_time=5, bottleneck=16,
+        )
+        x = jnp.asarray(np.abs(rng.standard_normal((3, 12, feat, 1))).astype(np.float32))
+        m_band = ConvSep(cfg)
+        params = m_band.init(jax.random.PRNGKey(0), x)
+        a = np.asarray(m_band.apply(params, x))
+        m_pl = ConvSep(dataclasses.replace(cfg, decoder_impl="band_pallas"))
+        b = np.asarray(m_pl.apply(params, x))
+        # band_pallas matches XLA's default GEMM precision by running bf16
+        # operands (f32 accumulate) — compare at bf16 resolution
+        scale = np.abs(a).max() + 1e-9
+        assert np.abs(b - a).max() / scale < 2e-2, f"stride={stride}"
+
+
+def test_freq_decode_wmajor_matches_regular(rng):
+    from convsep_tpu.models.convsep import (
+        freq_decode_wmajor,
+        tied_conv_transpose_regular,
+    )
+
+    for kw, sw, Wp, F, I, O in ((9, 3, 20, 66, 1, 5), (8, 2, 12, 30, 2, 4), (6, 3, 10, 33, 1, 3)):
+        y = jnp.asarray(rng.standard_normal((2, 7, Wp, O)).astype(np.float32))
+        k = jnp.asarray((rng.standard_normal((1, kw, I, O)) * 0.2).astype(np.float32))
+        ref = np.asarray(tied_conv_transpose_regular(y, k, (1, sw), (7, F)))
+        ywm = jnp.transpose(y, (0, 2, 1, 3))  # (N, Wp, T, O) w-major input
+        got = np.asarray(freq_decode_wmajor(ywm, k, sw, F))
+        np.testing.assert_allclose(got, ref, atol=2e-5, err_msg=f"kw={kw},sw={sw}")
+
+
+def test_trainable_config_normalizes_pallas():
+    import dataclasses
+
+    from convsep_tpu.models.convsep import trainable_config
+
+    cfg = ConvSepConfig(decoder_impl="band_pallas")
+    assert trainable_config(cfg).decoder_impl == "band"
+    cfg2 = ConvSepConfig(decoder_impl="conv")
+    assert trainable_config(cfg2) is cfg2
