@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from convsep_tpu.configs import get_preset
+from convsep_tpu.utils.transfer import fetch_parallel
 from convsep_tpu.data.synth import sine_mixture
 from convsep_tpu.models.convsep import ConvSep
 from convsep_tpu.separate.pipeline import bucket_length, separate_fused
@@ -179,7 +180,7 @@ def run_benchmark(
         stems = fused(dev_audio)
         np.asarray(stems[:, :8])  # dependent tiny fetch = compute barrier
         t1 = time.perf_counter()
-        out = np.asarray(stems)
+        out = fetch_parallel(stems)  # per-stem concurrent RPC streams
         t2 = time.perf_counter()
         t_compute.append(t1 - t0)
         t_fetch.append(t2 - t1)
@@ -243,12 +244,12 @@ def run_benchmark(
     # best of 2 passes: a single pass is exposed to one-off tunnel/compile-
     # server stalls (r2 recorded a 17x-slower outlier pass vs the 61x warm
     # steady state reproduced in isolation)
-    per_track = []
+    stream_per_track = []
     for _ in range(2):
         t0 = time.perf_counter()
         n_done = sum(len(b) for b in ss.stream(iter(ktracks), batch_size=2))
-        per_track.append((time.perf_counter() - t0) / n_done)
-    rtf_e2e_stream = audio_sec / min(per_track)
+        stream_per_track.append((time.perf_counter() - t0) / n_done)
+    rtf_e2e_stream = audio_sec / min(stream_per_track)
 
     # same program with the Pallas DSP kernels (fft_impl="pallas"), smaller
     # B / fewer reps — recorded for the matmul-vs-pallas decision (the

@@ -211,4 +211,8 @@ class Separator:
             self.apply_fn,
             self.output_dtype,
         )
-        return np.asarray(stems)[:, :L]
+        from convsep_tpu.utils.transfer import fetch_parallel
+
+        # per-stem concurrent fetch: the tunneled link is per-RPC-stream
+        # limited (~27 MB/s single vs ~37 MB/s x4, BASELINE.md)
+        return fetch_parallel(stems)[:, :L]

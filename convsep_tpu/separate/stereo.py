@@ -133,4 +133,6 @@ class StereoSeparator:
         stems = separate_fused_stereo(
             self.params, jnp.asarray(padded), self.preset, Lb, self.output_dtype
         )
-        return np.asarray(stems)[:, :, :L].transpose(0, 2, 1)  # (S, L, 2)
+        from convsep_tpu.utils.transfer import fetch_parallel
+
+        return fetch_parallel(stems)[:, :, :L].transpose(0, 2, 1)  # (S, L, 2)

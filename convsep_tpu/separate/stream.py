@@ -159,6 +159,15 @@ class StreamSeparator:
         # dispatch batch k+1 BEFORE fetching batch k's stems: jax dispatch
         # is async, so the k+1 compute runs under k's device→host transfer
         # (on tunneled links the transfer dominates — VERDICT r1 #8)
+        def _fetch(prev_out, prev_lengths):
+            from convsep_tpu.utils.transfer import fetch_parallel
+
+            # (B, S, L) → fetch B*S stems concurrently (per-RPC-stream
+            # limited link); device-side reshape is free
+            flat = fetch_parallel(prev_out.reshape(-1, prev_out.shape[-1]))
+            prev = flat.reshape(prev_out.shape)
+            return [prev[i, :, : prev_lengths[i]] for i in range(len(prev_lengths))]
+
         pending: tuple | None = None
         while True:
             item = q.get()
@@ -171,11 +180,7 @@ class StreamSeparator:
                 self.params, dev, self.preset, dev.shape[1], self.apply_fn, self.output_dtype
             )
             if pending is not None:
-                prev_out, prev_lengths = pending
-                prev = np.asarray(prev_out)
-                yield [prev[i, :, : prev_lengths[i]] for i in range(len(prev_lengths))]
+                yield _fetch(*pending)
             pending = (out_dev, lengths)
         if pending is not None:
-            prev_out, prev_lengths = pending
-            prev = np.asarray(prev_out)
-            yield [prev[i, :, : prev_lengths[i]] for i in range(len(prev_lengths))]
+            yield _fetch(*pending)

@@ -21,5 +21,6 @@ def enable_compilation_cache(path: str | None = None) -> str:
 
 
 from convsep_tpu.utils.profiling import trace, timeit_fetch  # noqa: E402
+from convsep_tpu.utils.transfer import fetch_parallel  # noqa: E402
 
-__all__ = ["trace", "timeit_fetch", "enable_compilation_cache"]
+__all__ = ["trace", "timeit_fetch", "enable_compilation_cache", "fetch_parallel"]

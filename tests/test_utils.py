@@ -66,3 +66,15 @@ def test_checkpoint_watchdog_falls_back_to_sync(tmp_path):
     restored, meta = mgr.restore_latest(state)
     assert int(restored["step"]) == 2 and meta["batch_in_epoch"] == 2
     np.testing.assert_array_equal(np.asarray(restored["w"]), np.asarray(state2["w"]))
+
+
+def test_fetch_parallel_matches_asarray():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from convsep_tpu.utils import fetch_parallel
+
+    x = jnp.arange(4 * 5 * 6, dtype=jnp.float32).reshape(4, 5, 6) * 0.5
+    np.testing.assert_array_equal(fetch_parallel(x), np.asarray(x))
+    y = jnp.arange(7, dtype=jnp.int16)[None]  # single row: plain asarray path
+    np.testing.assert_array_equal(fetch_parallel(y), np.asarray(y))
