@@ -130,6 +130,10 @@ def _cmd_separate(args) -> int:
     import dataclasses
 
     preset = get_preset(args.preset)
+    if getattr(args, "decoder_impl", None):
+        preset = dataclasses.replace(
+            preset, model=dataclasses.replace(preset.model, decoder_impl=args.decoder_impl)
+        )
     if args.wiener_p is not None:
         preset = dataclasses.replace(
             preset, sep=dataclasses.replace(preset.sep, wiener_p=args.wiener_p)
@@ -198,6 +202,12 @@ def _cmd_separate_batch(args) -> int:
     from convsep_tpu.separate import StreamSeparator
 
     preset = get_preset(args.preset)
+    if getattr(args, "decoder_impl", None):
+        import dataclasses
+
+        preset = dataclasses.replace(
+            preset, model=dataclasses.replace(preset.model, decoder_impl=args.decoder_impl)
+        )
     params = _load_params(args.params, preset, allow_unsafe=args.unsafe_pickle)
     mesh = None
     if args.mesh_data > 1:
@@ -294,6 +304,55 @@ def _cmd_convert(args) -> int:
     return 0
 
 
+def _cmd_profile(args) -> int:
+    """Capture a device trace of fused separation and print the hottest ops
+    (SURVEY.md §5.1 — the workflow behind docs/PALLAS_PROFILE.md)."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from convsep_tpu.configs import get_preset
+    from convsep_tpu.data.synth import sine_mixture
+    from convsep_tpu.models.convsep import ConvSep
+    from convsep_tpu.separate.pipeline import bucket_length, separate_fused
+    from convsep_tpu.utils import summarize_trace, trace
+
+    preset = get_preset(args.preset)
+    if args.decoder_impl:
+        preset = dataclasses.replace(
+            preset, model=dataclasses.replace(preset.model, decoder_impl=args.decoder_impl)
+        )
+    cfg = preset.model
+    if args.input:
+        from convsep_tpu.data.io import read_wav
+
+        fs, audio = read_wav(args.input)
+        if audio.ndim == 2:
+            audio = audio.mean(axis=1)
+    else:
+        fs = preset.transform.fs
+        _, audio = sine_mixture(cfg.num_sources, int(args.seconds * fs), fs=fs, seed=0)
+    if cfg.channels_in > 1:
+        raise ValueError("profile supports single-channel-input presets")
+    params = _load_params(args.params, preset) if args.params else ConvSep(cfg).init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.time_context, cfg.feat_size, cfg.channels_in)),
+    )
+    Lb = bucket_length(len(audio), preset)
+    dev = jnp.asarray(np.pad(np.asarray(audio, np.float32), (0, Lb - len(audio))))
+    stems = separate_fused(params, dev, None, preset, Lb, None, "int16")
+    np.asarray(stems[..., :8])  # compile outside the trace
+    with trace(args.logdir):
+        stems = separate_fused(params, dev, None, preset, Lb, None, "int16")
+        np.asarray(stems[..., :8])
+    rows = summarize_trace(args.logdir, top=args.top)
+    print(json.dumps(rows, indent=2))
+    print(f"trace -> {args.logdir} (open with XProf/Perfetto)")
+    return 0
+
+
 def _cmd_bench(args) -> int:
     from convsep_tpu.benchmark import run_benchmark
 
@@ -349,6 +408,7 @@ def main(argv=None) -> int:
     se.add_argument("--stereo", action="store_true", help="separate channels independently → stereo stems (default: downmix to mono)")
     se.add_argument("--wiener-p", type=float, default=None, help="generalized Wiener exponent (default: preset, 1.0; 2.0 = classic Wiener)")
     se.add_argument("--unsafe-pickle", action="store_true", help="allow arbitrary (unrestricted) pickle loading; only for trusted checkpoint files")
+    se.add_argument("--decoder-impl", default=None, choices=("band", "conv", "conv_transpose", "band_pallas"), help="tied-decoder implementation override (default: preset; see docs/PALLAS_PROFILE.md)")
     se.set_defaults(fn=_cmd_separate)
 
     sb = sub.add_parser("separate-batch", help="stream a directory of wavs through batched separation")
@@ -359,6 +419,7 @@ def main(argv=None) -> int:
     sb.add_argument("--batch-size", type=int, default=4)
     sb.add_argument("--mesh-data", type=int, default=1)
     sb.add_argument("--unsafe-pickle", action="store_true", help="allow arbitrary (unrestricted) pickle loading; only for trusted checkpoint files")
+    sb.add_argument("--decoder-impl", default=None, choices=("band", "conv", "conv_transpose", "band_pallas"), help="tied-decoder implementation override (default: preset)")
     sb.set_defaults(fn=_cmd_separate_batch)
 
     ev = sub.add_parser("evaluate", help="BSS Eval SDR/SIR/SAR of estimated stems")
@@ -374,6 +435,16 @@ def main(argv=None) -> int:
     cv.add_argument("--export", action="store_true", help="orbax -> reference pickle")
     cv.add_argument("--unsafe-pickle", action="store_true", help="allow arbitrary (unrestricted) pickle loading; only for trusted checkpoint files")
     cv.set_defaults(fn=_cmd_convert)
+
+    pr = sub.add_parser("profile", help="device-trace fused separation; print hottest ops")
+    pr.add_argument("--preset", default="dsd100")
+    pr.add_argument("--params", default=None, help="orbax ckpt dir or reference .pkl (default: random init)")
+    pr.add_argument("-i", "--input", default=None, help="wav to profile (default: synthetic mixture)")
+    pr.add_argument("--seconds", type=float, default=30.0)
+    pr.add_argument("--logdir", default="/tmp/convsep_trace")
+    pr.add_argument("--top", type=int, default=20)
+    pr.add_argument("--decoder-impl", default=None, choices=("band", "conv", "conv_transpose", "band_pallas"))
+    pr.set_defaults(fn=_cmd_profile)
 
     be = sub.add_parser("bench", help="RTF benchmark (one JSON line)")
     be.add_argument("--preset", default="dsd100")

@@ -20,7 +20,7 @@ def enable_compilation_cache(path: str | None = None) -> str:
     return path
 
 
-from convsep_tpu.utils.profiling import trace, timeit_fetch  # noqa: E402
+from convsep_tpu.utils.profiling import trace, timeit_fetch, summarize_trace  # noqa: E402
 from convsep_tpu.utils.transfer import fetch_parallel  # noqa: E402
 
-__all__ = ["trace", "timeit_fetch", "enable_compilation_cache", "fetch_parallel"]
+__all__ = ["trace", "timeit_fetch", "enable_compilation_cache", "fetch_parallel", "summarize_trace"]

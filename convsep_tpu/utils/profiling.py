@@ -44,3 +44,40 @@ def timeit_fetch(fn: Callable, *args, runs: int = 5, warmup: int = 1) -> dict:
         "min_s": float(np.min(times)),
         "all_s": [round(t, 5) for t in times],
     }
+
+
+def summarize_trace(logdir: str, top: int = 20) -> list[dict]:
+    """Parse a `trace(logdir)` capture → per-op device time summary.
+
+    Reads the Perfetto JSON the TPU profiler writes and aggregates X-phase
+    events on device lanes. Returns [{"name", "total_ms", "count"}],
+    hottest first — enough to rank fusions without Perfetto/XProf UI
+    access (the workflow used for every decoder optimization in
+    docs/PALLAS_PROFILE.md).
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+
+    files = sorted(glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True))
+    if not files:
+        raise FileNotFoundError(f"no *.trace.json.gz under {logdir}")
+    with gzip.open(files[-1]) as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    pids = {
+        e["pid"]: e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    durs: dict = collections.Counter()
+    cnt: dict = collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), ""):
+            durs[e["name"]] += e.get("dur", 0)
+            cnt[e["name"]] += 1
+    return [
+        {"name": name, "total_ms": round(us / 1e3, 3), "count": cnt[name]}
+        for name, us in durs.most_common(top)
+    ]

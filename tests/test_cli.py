@@ -250,3 +250,12 @@ def test_stereo_native_cli_journey(tmp_path, monkeypatch):
     assert fs == FS and v.ndim == 2 and v.shape[1] == 2 and v.dtype == np.int16
     fs, a = wavfile.read(os.path.join(out, "accompaniment.wav"))
     assert a.shape == v.shape
+
+
+def test_profile_cli(tmp_path, capsys):
+    ld = str(tmp_path / "trace")
+    assert cli.main([
+        "profile", "--preset", "tinyikala", "--seconds", "0.5", "--logdir", ld, "--top", "5",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "trace ->" in out
