@@ -218,12 +218,19 @@ def _cmd_separate_batch(args) -> int:
     if not names:
         raise FileNotFoundError(f"no wavs under {args.input_dir}")
 
+    stereo = preset.model.decoder_reduce == "all"
+
     def tracks():
         for n in names:
             fs, audio = read_wav(os.path.join(args.input_dir, n))
             if fs != preset.transform.fs:
                 raise ValueError(f"{n}: fs {fs} != preset fs {preset.transform.fs}")
-            yield audio.mean(axis=1) if audio.ndim == 2 else audio
+            if stereo:  # joint-channel preset: keep both ears, (2, L)
+                if audio.ndim != 2:
+                    raise ValueError(f"{n}: stereo preset needs a stereo wav")
+                yield audio.T[:2]
+            else:
+                yield audio.mean(axis=1) if audio.ndim == 2 else audio
 
     ss = StreamSeparator(preset, params, mesh=mesh, output_dtype="int16", input_dtype="int16")
     done = 0
@@ -234,7 +241,9 @@ def _cmd_separate_batch(args) -> int:
             outdir = os.path.join(args.out, name)
             os.makedirs(outdir, exist_ok=True)
             for sname, stem in zip(preset.sources, stems):
-                write_wav(os.path.join(outdir, f"{sname}.wav"), preset.transform.fs, stem)
+                # stereo stems arrive (2, L) → wav layout (L, 2)
+                wav = stem.T if stereo else stem
+                write_wav(os.path.join(outdir, f"{sname}.wav"), preset.transform.fs, wav)
             done += 1
     print(f"separated {done} tracks -> {args.out}")
     return 0

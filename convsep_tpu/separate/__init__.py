@@ -6,6 +6,7 @@ from convsep_tpu.separate.stream import (
     StreamSeparator,
     separate_batch,
     separate_batch_scan,
+    separate_batch_stereo,
 )
 
 __all__ = [
@@ -17,4 +18,5 @@ __all__ = [
     "StreamSeparator",
     "separate_batch",
     "separate_batch_scan",
+    "separate_batch_stereo",
 ]

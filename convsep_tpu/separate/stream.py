@@ -65,6 +65,27 @@ def separate_batch_scan(
     )
 
 
+
+@partial(jax.jit, static_argnames=("preset", "length", "output_dtype"))
+def separate_batch_stereo(
+    params,
+    tracks: jnp.ndarray,
+    preset: Preset,
+    length: int,
+    output_dtype: str = "float32",
+) -> jnp.ndarray:
+    """(B, 2, length) stereo mixtures → (B, S, 2, length); one XLA program.
+
+    vmap of the fused joint-channel program (separate/stereo.py) — with the
+    batch sharded over the mesh every stage partitions, as in the mono path.
+    """
+    from convsep_tpu.separate.stereo import separate_fused_stereo
+
+    return jax.vmap(
+        lambda a: separate_fused_stereo(params, a, preset, length, output_dtype)
+    )(tracks)
+
+
 class StreamSeparator:
     """Stream many tracks through mesh-sharded fused separation.
 
@@ -90,42 +111,59 @@ class StreamSeparator:
             params = jax.device_put(params, replicated(mesh))
         self.params = params
 
+    @property
+    def _stereo(self) -> bool:
+        # joint-channel presets take (2, L) tracks and yield (S, 2, L) stems
+        return self.preset.model.decoder_reduce == "all"
+
     def _bucket(self, batch: Sequence[np.ndarray]) -> tuple[np.ndarray, list[int]]:
-        lengths = [len(t) for t in batch]
+        lengths = [t.shape[-1] for t in batch]
         Lb = bucket_length(max(lengths), self.preset)
         n = len(batch)
         if self.mesh is not None:  # batch axis must divide the batch mesh axes
             d = self.mesh.shape["data"] * self.mesh.shape.get("dcn", 1)
             n = -(-n // d) * d
         dt = np.int16 if self.input_dtype == "int16" else np.float32
-        stacked = np.zeros((n, Lb), dt)
+        shape = (n, 2, Lb) if self._stereo else (n, Lb)
+        stacked = np.zeros(shape, dt)
         for i, t in enumerate(batch):
+            if self._stereo and t.ndim != 2:
+                raise ValueError(f"stereo preset expects (2, L) tracks, got {t.shape}")
             if dt == np.int16 and t.dtype != np.int16:
                 t = np.clip(np.asarray(t, np.float32) * 32768.0, -32768, 32767).astype(np.int16)
-            stacked[i, : len(t)] = t
+            stacked[i, ..., : t.shape[-1]] = t
         return stacked, lengths
 
     def _batch_fn(self):
         # vmap partitions across a sharded mesh batch axis; on one device
         # lax.map wins (single-track memory, body compiled once)
+        if self._stereo:
+            return lambda params, dev, preset, length, apply_fn, output_dtype: (
+                separate_batch_stereo(params, dev, preset, length, output_dtype)
+            )
         return separate_batch if self.mesh is not None else separate_batch_scan
 
     def separate_many(self, tracks: Sequence[np.ndarray]) -> list[np.ndarray]:
         """Separate a list of mono tracks → list of (S, len_i) stems."""
         stacked, lengths = self._bucket(tracks)
-        sharding = batch_sharding(self.mesh, 2) if self.mesh is not None else None
+        sharding = (
+            batch_sharding(self.mesh, stacked.ndim) if self.mesh is not None else None
+        )
         dev = jax.device_put(jnp.asarray(stacked), sharding)
         out = self._batch_fn()(
-            self.params, dev, self.preset, stacked.shape[1], self.apply_fn, self.output_dtype
+            self.params, dev, self.preset, stacked.shape[-1], self.apply_fn, self.output_dtype
         )
         out = np.asarray(out)
-        return [out[i, :, : lengths[i]] for i in range(len(tracks))]
+        return [out[i, ..., : lengths[i]] for i in range(len(tracks))]
 
     def stream(
         self, tracks: Iterator[np.ndarray], batch_size: int
     ) -> Iterator[list[np.ndarray]]:
         """Batched streaming with host→device prefetch overlap."""
-        sharding = batch_sharding(self.mesh, 2) if self.mesh is not None else None
+        in_ndim = 3 if self._stereo else 2
+        sharding = (
+            batch_sharding(self.mesh, in_ndim) if self.mesh is not None else None
+        )
 
         def batches():
             buf = []
@@ -166,7 +204,7 @@ class StreamSeparator:
             # limited link); device-side reshape is free
             flat = fetch_parallel(prev_out.reshape(-1, prev_out.shape[-1]))
             prev = flat.reshape(prev_out.shape)
-            return [prev[i, :, : prev_lengths[i]] for i in range(len(prev_lengths))]
+            return [prev[i, ..., : prev_lengths[i]] for i in range(len(prev_lengths))]
 
         pending: tuple | None = None
         while True:
@@ -177,7 +215,7 @@ class StreamSeparator:
                 raise item
             dev, lengths = item
             out_dev = self._batch_fn()(
-                self.params, dev, self.preset, dev.shape[1], self.apply_fn, self.output_dtype
+                self.params, dev, self.preset, dev.shape[-1], self.apply_fn, self.output_dtype
             )
             if pending is not None:
                 yield _fetch(*pending)

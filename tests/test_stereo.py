@@ -199,3 +199,67 @@ def test_stereo_e2e_train_loss_decreases(stereo_audio_root, preset):
     assert min(epoch_means[1:]) < 0.9 * epoch_means[0], (
         f"stereo e2e loss did not decrease: epoch means {epoch_means}"
     )
+
+
+def stereo_tracks(n, seconds=1.0):
+    return [stereo_mix(seconds=seconds + 0.1 * i, seed=i)[1] for i in range(n)]
+
+
+def test_stereo_stream_matches_single(preset, params):
+    from convsep_tpu.separate import StereoSeparator, StreamSeparator
+
+    tracks = stereo_tracks(3)
+    ss = StreamSeparator(preset, params)
+    outs = [o for b in ss.stream(iter(tracks), batch_size=2) for o in b]
+    single = StereoSeparator(preset, params)
+    for t, o in zip(tracks, outs):
+        assert o.shape == (2, 2, t.shape[-1])  # (S, 2, L)
+        np.testing.assert_allclose(o.transpose(0, 2, 1), single(t), atol=1e-4)
+
+
+def test_stereo_stream_mesh_matches_unsharded(preset, params):
+    from convsep_tpu.distributed import make_mesh
+    from convsep_tpu.separate import StreamSeparator
+
+    tracks = stereo_tracks(4)
+    plain = StreamSeparator(preset, params).separate_many(tracks)
+    mesh = make_mesh(data=4, model=1)
+    sharded = StreamSeparator(preset, params, mesh=mesh).separate_many(tracks)
+    for a, b in zip(plain, sharded):
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_stereo_separate_batch_cli(tmp_path, monkeypatch):
+    import scipy.io.wavfile as wavfile
+
+    from convsep_tpu import cli
+    from convsep_tpu.configs import presets as presets_mod
+    from convsep_tpu.data import write_wav
+    from tests.test_cli import _tiny_ikala
+
+    monkeypatch.setitem(
+        presets_mod.PRESETS, "tinyikala-stereo", lambda: stereo_preset(_tiny_ikala())
+    )
+    mixes = tmp_path / "mixes"
+    mixes.mkdir()
+    for i in range(3):
+        _, mix = stereo_mix(seconds=1.0, seed=i)
+        write_wav(mixes / f"m{i}.wav", FS, mix.T)
+    import pickle
+
+    from tests.test_convert import _random_reference_values
+
+    tiny = stereo_preset(_tiny_ikala())
+    vals = _random_reference_values(tiny.model, np.random.default_rng(0))
+    pkl = str(tmp_path / "m.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(vals, f, protocol=2)
+    out = str(tmp_path / "est")
+    assert cli.main([
+        "separate-batch", "--preset", "tinyikala-stereo", "--params", pkl,
+        "--input-dir", str(mixes), "-o", out, "--batch-size", "2",
+    ]) == 0
+    import os
+
+    fs, v = wavfile.read(os.path.join(out, "m0", "vocals.wav"))
+    assert v.ndim == 2 and v.shape[1] == 2 and v.dtype == np.int16
