@@ -128,6 +128,32 @@ def preset_matrix(
             }
         except Exception as e:  # record, don't kill the headline bench
             out[name] = f"failed: {type(e).__name__}: {e}"
+            continue
+        # batched single-dispatch (vmap): compiles in minutes where lax.map's
+        # loop pass takes ~42 min on 4096-pt bodies; measured 902x vs 542x
+        # pipelined for highres4096 (2026-08-17). Score-informed presets are
+        # skipped (separate_batch carries no extra channels).
+        if n_extra == 0 and time.monotonic() - _T0 <= time_budget_s:
+            from convsep_tpu.separate.stream import (
+                separate_batch,
+                separate_batch_stereo,
+            )
+
+            try:
+                stacked = jnp.stack(tracks)
+                if stereo:
+                    fb = lambda b: separate_batch_stereo(params, b, preset, Lb, "int16")  # noqa: E731
+                else:
+                    fb = lambda b: separate_batch(params, b, preset, Lb, None, "int16")  # noqa: E731
+                np.asarray(fb(stacked)[..., :8])
+                t0 = time.perf_counter()
+                reps = 2
+                for r in range(reps):
+                    np.asarray(fb(stacked + jnp.float32(r * 1e-7))[..., :8])
+                per_b = (time.perf_counter() - t0) / (batch * reps)
+                out[name]["rtf_batched_vmap"] = round(audio_sec / per_b, 2)
+            except Exception as e:
+                out[name]["rtf_batched_vmap"] = f"failed: {type(e).__name__}"
     return out
 
 
