@@ -222,3 +222,40 @@ def test_trainable_config_normalizes_pallas():
     assert trainable_config(cfg).decoder_impl == "band"
     cfg2 = ConvSepConfig(decoder_impl="conv")
     assert trainable_config(cfg2) is cfg2
+
+
+def test_fused2d_decoder_matches_band(rng):
+    """decoder_impl="fused" (both decode stages as ONE composed-kernel 2-D
+    conv) == decoder_impl="band" on the same params, strided and not."""
+    import dataclasses
+
+    for stride, feat in ((1, 40), (2, 65), (3, 64)):
+        cfg = ConvSepConfig(
+            time_context=12, feat_size=feat, channels_in=1, num_sources=3,
+            conv1_filters=6, conv1_freq=9, conv1_freq_stride=stride,
+            conv2_filters=5, conv2_time=5, bottleneck=16,
+        )
+        x = jnp.asarray(np.abs(rng.standard_normal((3, 12, feat, 1))).astype(np.float32))
+        m_band = ConvSep(cfg)
+        params = m_band.init(jax.random.PRNGKey(0), x)
+        a = np.asarray(m_band.apply(params, x))
+        m_f = ConvSep(dataclasses.replace(cfg, decoder_impl="fused"))
+        b = np.asarray(m_f.apply(params, x))
+        np.testing.assert_allclose(a, b, atol=2e-4, err_msg=f"stride={stride}")
+
+
+def test_fused2d_decoder_multichannel(rng):
+    """fused decode with score-informed channels_in>1 == band."""
+    import dataclasses
+
+    cfg = ConvSepConfig(
+        time_context=10, feat_size=33, channels_in=3, num_sources=2,
+        conv1_filters=4, conv1_freq=7, conv1_freq_stride=2,
+        conv2_filters=4, conv2_time=5, bottleneck=8, decoder_reduce="sum",
+    )
+    x = jnp.asarray(np.abs(rng.standard_normal((2, 10, 33, 3))).astype(np.float32))
+    m = ConvSep(cfg)
+    params = m.init(jax.random.PRNGKey(0), x)
+    a = np.asarray(m.apply(params, x))
+    b = np.asarray(ConvSep(dataclasses.replace(cfg, decoder_impl="fused")).apply(params, x))
+    np.testing.assert_allclose(a, b, atol=2e-4)
