@@ -218,6 +218,29 @@ def run_benchmark(
     med_e = float(np.median(t_e2e))
     rtf_e2e = audio_sec / med_e
 
+    # streaming e2e throughput: StreamSeparator overlaps upload/compute with
+    # the previous batch's stem download — per-track wall approaches the
+    # tunnel-bandwidth floor (docs/TRANSFER_CEILING.md). Measured HERE,
+    # before the pipelined/batched sections queue hundreds of MB of device
+    # outputs whose deallocation RPCs stall the tunnel mid-measurement
+    # (observed 61x in isolation vs 12-72x when measured after them).
+    from convsep_tpu.separate.stream import StreamSeparator
+
+    _progress("headline: streaming e2e")
+    ss = StreamSeparator(preset, params, output_dtype="int16", input_dtype="int16")
+    ktracks = [host_pcm16 + np.int16(i % 3) for i in range(6)]
+    list(ss.stream(iter(ktracks[:2]), batch_size=2))  # warm (same shapes)
+    import gc
+
+    gc.collect()  # settle deallocation RPCs before timing
+    # best of 3 passes: single passes are exposed to one-off tunnel stalls
+    stream_per_track = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n_done = sum(len(b) for b in ss.stream(iter(ktracks), batch_size=2))
+        stream_per_track.append((time.perf_counter() - t0) / n_done)
+    rtf_e2e_stream = audio_sec / min(stream_per_track)
+
     # sustained throughput: K tracks dispatched async (device queue keeps the
     # chip busy), one dependent tiny fetch per output at the end — per-call
     # RPC/upload overheads overlap with compute, as in production streaming.
@@ -257,25 +280,6 @@ def run_benchmark(
         np.asarray(out_b[:, :, :8])
     per_track_b = (time.perf_counter() - t0) / (B * reps)
     rtf_batched = audio_sec / per_track_b
-
-    # streaming e2e throughput: StreamSeparator overlaps upload/compute with
-    # the previous batch's stem download — per-track wall approaches the
-    # tunnel-bandwidth floor (docs/TRANSFER_CEILING.md)
-    from convsep_tpu.separate.stream import StreamSeparator
-
-    _progress("headline: streaming e2e")
-    ss = StreamSeparator(preset, params, output_dtype="int16", input_dtype="int16")
-    ktracks = [host_pcm16 + np.int16(i % 3) for i in range(6)]
-    list(ss.stream(iter(ktracks[:2]), batch_size=2))  # warm (same shapes)
-    # best of 2 passes: a single pass is exposed to one-off tunnel/compile-
-    # server stalls (r2 recorded a 17x-slower outlier pass vs the 61x warm
-    # steady state reproduced in isolation)
-    stream_per_track = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        n_done = sum(len(b) for b in ss.stream(iter(ktracks), batch_size=2))
-        stream_per_track.append((time.perf_counter() - t0) / n_done)
-    rtf_e2e_stream = audio_sec / min(stream_per_track)
 
     # same program with the Pallas DSP kernels (fft_impl="pallas"), smaller
     # B / fewer reps — recorded for the matmul-vs-pallas decision (the
