@@ -48,6 +48,13 @@ def _cmd_train(args) -> int:
         preset = dataclasses.replace(
             preset, train=dataclasses.replace(preset.train, num_epochs=args.epochs)
         )
+    if args.checkpoint_every_epochs:
+        preset = dataclasses.replace(
+            preset,
+            train=dataclasses.replace(
+                preset.train, checkpoint_every_epochs=args.checkpoint_every_epochs
+            ),
+        )
     if args.from_audio:
         from convsep_tpu.data.audio_dataset import AudioSegmentDataset, segment_samples
 
@@ -405,6 +412,10 @@ def main(argv=None) -> int:
         help="train straight from <track>/<stem>.wav dirs (STFT inside the train step; --features is the audio dir)",
     )
     tr.add_argument("--tensorboard", action="store_true")
+    tr.add_argument(
+        "--checkpoint-every-epochs", type=int, default=None,
+        help="save cadence in epochs (default: preset; raise on slow links — a full-state save moves 100s of MB)",
+    )
     tr.add_argument("--val-features", default=None, help="feature dir for per-epoch validation loss")
     tr.set_defaults(fn=_cmd_train)
 

@@ -66,6 +66,11 @@ class TrainConfig:
     time_context: int = 30
     overlap: int = 20  # training segment overlap in frames
     checkpoint_every_steps: int = 500
+    # Per-epoch save cadence: every Nth epoch (plus always the final one).
+    # On slow device→host links a full-state save moves hundreds of MB and
+    # a per-epoch cadence can dominate (or wedge) the run — raise this for
+    # big models on tunneled rigs.
+    checkpoint_every_epochs: int = 1
     # False → checkpoint {step, params} only: 3× fewer bytes (adadelta keeps
     # two slots per param); resume restarts the optimizer accumulators
     checkpoint_optimizer_state: bool = True

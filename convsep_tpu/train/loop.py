@@ -351,7 +351,10 @@ class Trainer:
                     epoch_kv["val_loss"] = self.evaluate(val_dataset)
                 logger.log(**epoch_kv)
                 self._data_pos = {"epoch": epoch + 1, "batch_in_epoch": 0, "grain": None}
-                if self._ckpt is not None:
+                last_epoch = epoch == num_epochs - 1
+                if self._ckpt is not None and (
+                    last_epoch or (epoch + 1) % tr.checkpoint_every_epochs == 0
+                ):
                     self._save(step)
         finally:
             if self._ckpt is not None:

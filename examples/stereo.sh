@@ -9,7 +9,10 @@ set -euo pipefail
 DB=${1:?usage: stereo.sh <audio-root> [workdir]}
 WD=${2:-runs/dsd100-stereo}
 
-convsep train --preset dsd100-stereo --features "$DB" --workdir "$WD" --from-audio
+# bounded run: per-epoch full-state saves move ~800 MB each on slow
+# device->host links; 8 epochs + save-every-4 keeps the demo snappy
+convsep train --preset dsd100-stereo --features "$DB" --workdir "$WD" --from-audio \
+  --epochs "${EPOCHS:-8}" --checkpoint-every-epochs 4
 TRACK=$(ls "$DB" | head -1)
 convsep separate --preset dsd100-stereo --params "$WD/checkpoints" \
   -i "$DB/$TRACK/mixture.wav" -o "$WD/stems"

@@ -249,3 +249,41 @@ def test_resume_from_mid_epoch_checkpoint_not_max_steps(feature_dir, tmp_path):
     assert t2.restore() == 3
     t2.fit(ds, num_epochs=1)
     np.testing.assert_allclose(t2_seen, ref_seen[3:], rtol=1e-6)
+
+
+def test_checkpoint_every_epochs_throttle(tmp_path):
+    """checkpoint_every_epochs=K saves on every Kth epoch + the final one
+    (per-epoch full-state saves can dominate runs on slow links)."""
+    import dataclasses
+    import os
+
+    from convsep_tpu.train.loop import Trainer
+    from convsep_tpu.data.pipeline import SegmentDataset
+    from convsep_tpu.data.synth import synth_feature_dir
+
+    preset = tiny_train_preset(num_epochs=5)
+    preset = dataclasses.replace(
+        preset,
+        train=dataclasses.replace(
+            preset.train, checkpoint_every_epochs=3, checkpoint_every_steps=10**9
+        ),
+    )
+    d = tmp_path / "feats"
+    synth_feature_dir(
+        str(d), ("vocals", "accompaniment"), num_tracks=1, seconds=1.5,
+        fs=8000, frame_size=256, hop_size=128,
+    )
+    ds = SegmentDataset(
+        str(d), ("vocals", "accompaniment"),
+        time_context=preset.train.time_context, overlap=preset.train.overlap,
+        mult_factor_in=preset.train.mult_factor_in,
+        mult_factor_out=preset.train.mult_factor_out,
+    )
+    wd = str(tmp_path / "run")
+    tr = Trainer(preset, workdir=wd)
+    tr.fit(ds)
+    steps = sorted(
+        int(s) for s in os.listdir(os.path.join(wd, "checkpoints")) if s.isdigit()
+    )
+    # epochs 3 (idx 2) and final epoch 5 → exactly 2 checkpoints
+    assert len(steps) == 2, steps
