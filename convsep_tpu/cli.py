@@ -260,26 +260,70 @@ def _cmd_evaluate(args) -> int:
     import numpy as np
 
     from convsep_tpu.data.io import read_wav
-    from convsep_tpu.eval import bss_eval_sources
+    from convsep_tpu.eval import (
+        bss_eval_sources,
+        bss_eval_stereo,
+        bss_eval_windowed,
+        oracle_stems,
+    )
 
     names = sorted(
         f[:-4] for f in os.listdir(args.ref_dir) if f.endswith(".wav")
     )
     refs, ests = [], []
+    fs = None
+    stereo = args.stereo
     for n in names:
-        _, r = read_wav(os.path.join(args.ref_dir, n + ".wav"))
+        fs, r = read_wav(os.path.join(args.ref_dir, n + ".wav"))
         _, e = read_wav(os.path.join(args.est_dir, n + ".wav"))
         L = min(len(r), len(e))
-        refs.append(r[:L] if r.ndim == 1 else r[:L].mean(1))
-        ests.append(e[:L] if e.ndim == 1 else e[:L].mean(1))
-    L = min(len(r) for r in refs)
-    sdr, sir, sar, _ = bss_eval_sources(
-        np.stack([r[:L] for r in refs]), np.stack([e[:L] for e in ests]), flen=args.flen
-    )
+        if stereo:
+            if r.ndim != 2 or e.ndim != 2:
+                raise ValueError(f"{n}: --stereo needs stereo ref AND est wavs")
+            refs.append(r[:L].T)  # (2, L)
+            ests.append(e[:L].T)
+        else:
+            refs.append(r[:L] if r.ndim == 1 else r[:L].mean(1))
+            ests.append(e[:L] if e.ndim == 1 else e[:L].mean(1))
+    L = min(r.shape[-1] for r in refs)
+    refs = np.stack([r[..., :L] for r in refs])  # (S, L) or (S, 2, L)
+    ests = np.stack([e[..., :L] for e in ests])
+
+    def _metric(r, e):
+        if stereo:
+            sdr, sir, sar = bss_eval_stereo(r, e, flen=args.flen)
+            return sdr, sir, sar, None
+        if args.windowed:
+            w = bss_eval_windowed(r, e, fs, flen=args.flen)
+            return w["SDR"], w["SIR"], w["SAR"], w["windows"]
+        sdr, sir, sar, _ = bss_eval_sources(r, e, flen=args.flen)
+        return sdr, sir, sar, None
+
+    sdr, sir, sar, nwin = _metric(refs, ests)
     out = {
         n: {"SDR": round(float(a), 3), "SIR": round(float(b), 3), "SAR": round(float(c), 3)}
         for n, a, b, c in zip(names, sdr, sir, sar)
     }
+    if nwin is not None:
+        out["_windows"] = nwin
+    if args.oracle:
+        # ideal-soft-mask upper bound from the true stems + mixture
+        from convsep_tpu.configs import get_preset
+
+        if not args.mix or not args.preset:
+            raise ValueError("--oracle needs --mix <mixture.wav> and --preset")
+        preset = get_preset(args.preset)
+        _, mix = read_wav(args.mix)
+        mix = mix[..., :L] if mix.ndim == 1 else mix[:L].mean(1)
+        r_mono = refs if not stereo else refs.mean(axis=1)
+        orc = oracle_stems(mix[:L], r_mono, preset)
+        osdr, osir, osar, onwin = _metric(
+            r_mono if not stereo else refs,
+            orc if not stereo else np.repeat(orc[:, None], 2, axis=1),
+        )
+        for n, a, b in zip(names, osdr, sdr):
+            out[n]["oracle_SDR"] = round(float(a), 3)
+            out[n]["headroom_dB"] = round(float(a) - float(b), 3)
     print(json.dumps(out, indent=2))
     return 0
 
@@ -428,7 +472,7 @@ def main(argv=None) -> int:
     se.add_argument("--stereo", action="store_true", help="separate channels independently → stereo stems (default: downmix to mono)")
     se.add_argument("--wiener-p", type=float, default=None, help="generalized Wiener exponent (default: preset, 1.0; 2.0 = classic Wiener)")
     se.add_argument("--unsafe-pickle", action="store_true", help="allow arbitrary (unrestricted) pickle loading; only for trusted checkpoint files")
-    se.add_argument("--decoder-impl", default=None, choices=("band", "conv", "conv_transpose", "band_pallas"), help="tied-decoder implementation override (default: preset; see docs/PALLAS_PROFILE.md)")
+    se.add_argument("--decoder-impl", default=None, choices=("band", "band_einsum", "fused", "conv", "conv_transpose", "band_pallas"), help="tied-decoder implementation override (default: preset; see docs/PALLAS_PROFILE.md)")
     se.set_defaults(fn=_cmd_separate)
 
     sb = sub.add_parser("separate-batch", help="stream a directory of wavs through batched separation")
@@ -439,13 +483,18 @@ def main(argv=None) -> int:
     sb.add_argument("--batch-size", type=int, default=4)
     sb.add_argument("--mesh-data", type=int, default=1)
     sb.add_argument("--unsafe-pickle", action="store_true", help="allow arbitrary (unrestricted) pickle loading; only for trusted checkpoint files")
-    sb.add_argument("--decoder-impl", default=None, choices=("band", "conv", "conv_transpose", "band_pallas"), help="tied-decoder implementation override (default: preset)")
+    sb.add_argument("--decoder-impl", default=None, choices=("band", "band_einsum", "fused", "conv", "conv_transpose", "band_pallas"), help="tied-decoder implementation override (default: preset)")
     sb.set_defaults(fn=_cmd_separate_batch)
 
     ev = sub.add_parser("evaluate", help="BSS Eval SDR/SIR/SAR of estimated stems")
     ev.add_argument("--ref-dir", required=True)
     ev.add_argument("--est-dir", required=True)
     ev.add_argument("--flen", type=int, default=512)
+    ev.add_argument("--windowed", action="store_true", help="SiSEC-style 30 s windows at 15 s hop, median over windows")
+    ev.add_argument("--stereo", action="store_true", help="evaluate (S, 2, L) stereo stems (channel-combined BSS Eval)")
+    ev.add_argument("--oracle", action="store_true", help="also report the ideal-soft-mask oracle SDR + headroom (needs --mix and --preset)")
+    ev.add_argument("--mix", default=None, help="mixture wav for --oracle")
+    ev.add_argument("--preset", default=None, help="preset for --oracle transform settings")
     ev.set_defaults(fn=_cmd_evaluate)
 
     cv = sub.add_parser("convert", help="reference pickle <-> orbax checkpoint")
@@ -463,7 +512,7 @@ def main(argv=None) -> int:
     pr.add_argument("--seconds", type=float, default=30.0)
     pr.add_argument("--logdir", default="/tmp/convsep_trace")
     pr.add_argument("--top", type=int, default=20)
-    pr.add_argument("--decoder-impl", default=None, choices=("band", "conv", "conv_transpose", "band_pallas"))
+    pr.add_argument("--decoder-impl", default=None, choices=("band", "band_einsum", "fused", "conv", "conv_transpose", "band_pallas"))
     pr.set_defaults(fn=_cmd_profile)
 
     be = sub.add_parser("bench", help="RTF benchmark (one JSON line)")

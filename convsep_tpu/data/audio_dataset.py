@@ -53,6 +53,8 @@ class AudioSegmentDataset:
         if self.stereo:
             if a.ndim == 1:  # mono stem in a stereo run: center-panned
                 return np.stack([a, a])
+            if a.shape[1] == 1:  # (n, 1) single-channel wav: same treatment
+                return np.stack([a[:, 0], a[:, 0]])
             return np.asarray(a).T[:2]
         return a.mean(axis=1) if a.ndim == 2 else a
 

@@ -11,7 +11,7 @@ sub-blocks per frame, output hop-block ``j`` is the sum of at most ``k``
 frame sub-blocks — expressed here as ``k`` static pads + adds, which XLA
 fuses into one pass with no dynamic-update-slice serialization. The
 normalization sequence depends only on static shapes and is precomputed in
-numpy at trace time. See dsp/pallas/frame_ola.py for the Pallas variant.
+numpy at trace time. See dsp/pallas/istft_kernel.py for the Pallas variant.
 """
 
 from __future__ import annotations

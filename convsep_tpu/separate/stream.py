@@ -104,6 +104,10 @@ class StreamSeparator:
     ):
         self.preset = preset
         self.mesh = mesh
+        if apply_fn is not None and preset.model.decoder_reduce == "all":
+            # the stereo path routes through separate_fused_stereo, which has
+            # no apply override — failing loud beats silently dropping it
+            raise ValueError("apply_fn overrides are not supported by stereo presets")
         self.apply_fn = apply_fn
         self.output_dtype = output_dtype
         self.input_dtype = input_dtype

@@ -30,10 +30,8 @@ def fetch_parallel(dev_array, max_streams: int = 4) -> np.ndarray:
     n = int(dev_array.shape[0])
     if n <= 1:
         return np.asarray(dev_array)
-    streams = min(n, max_streams)
-    # slice on device first (cheap) so each future fetches its own buffer
+    # slice on device first (cheap) so each future fetches its own buffer;
+    # the pool caps concurrency at max_workers RPC streams
     parts = [dev_array[i] for i in range(n)]
     futs = [_pool().submit(np.asarray, p) for p in parts]
-    out = [f.result() for f in futs]
-    del streams
-    return np.stack(out)
+    return np.stack([f.result() for f in futs])

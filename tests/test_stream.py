@@ -102,7 +102,10 @@ def test_sharded_rejects_fft_impl():
 
     from convsep_tpu.separate.sharded import separate_track_sharded
 
-    p = tiny_preset("ikala")  # fft_impl='fft'
+    p = tiny_preset("ikala")
+    p = dataclasses.replace(
+        p, transform=dataclasses.replace(p.transform, fft_impl="fft")
+    )
     mesh = make_mesh(data=8, model=1)
     with pytest.raises(ValueError, match="matmul"):
         separate_track_sharded({}, jnp.zeros(8000), p, mesh, 8000)
