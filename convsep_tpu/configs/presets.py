@@ -32,11 +32,12 @@ class TransformConfig:
     nfft: int | None = None  # None → frame_size
     window: str = "sinebell"
     iscale: str = "lin"
-    # "fft": jnp.fft (bit-exact parity path) | "matmul": DFT as MXU matmuls
-    # (TPU speed path, ~1e-4 abs of the fft path — see dsp/dft.py) |
-    # "pallas": fused framing/DFT/OLA/Wiener kernels (dsp/pallas — frames
-    # and masks never materialize in HBM; bench-selectable vs matmul)
-    fft_impl: str = "fft"
+    # "matmul": DFT as MXU matmuls (TPU speed path and the default — every
+    # preset ships it; see dsp/dft.py) | "fft": jnp.fft (bit-exact parity
+    # path for oracle tests, ~1e-4 abs of matmul) | "pallas": fused
+    # framing/DFT/OLA/Wiener kernels (dsp/pallas — frames and masks never
+    # materialize in HBM; bench-selectable vs matmul)
+    fft_impl: str = "matmul"
     # Multi-resolution analysis (BASELINE config #5): extra window sizes
     # whose magnitudes become additional input channels. They share
     # `hop_size` (so frame grids align exactly) and are frequency-
@@ -65,6 +66,15 @@ class TrainConfig:
     mult_factor_out: float = 0.3
     time_context: int = 30
     overlap: int = 20  # training segment overlap in frames
+    # Train steps executed per device dispatch (lax.scan over K device-
+    # resident batches, donated carry): amortizes the per-dispatch RPC
+    # floor (~30 ms on tunneled rigs) over K steps. 1 = one jit call per
+    # step (reference-shaped loop). Identical math either way.
+    steps_per_dispatch: int = 1
+    # Cadence (in steps) of per-step metric records: loss, grad_norm,
+    # step_time_ms, rtf_train (SURVEY.md §5.5). Each record costs one
+    # lagged device fetch (an RPC), so keep it ≫ 1 on tunneled rigs.
+    log_every_steps: int = 50
     checkpoint_every_steps: int = 500
     # Per-epoch save cadence: every Nth epoch (plus always the final one).
     # On slow device→host links a full-state save moves hundreds of MB and

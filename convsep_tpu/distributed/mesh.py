@@ -78,6 +78,19 @@ def put_leading(mesh: Mesh, item):
     )
 
 
+def put_stacked(mesh: Mesh, item):
+    """device_put a (K, B, …) multi-step batch pytree: axis 0 is the scan
+    (steps-per-dispatch) axis — replicated — and axis 1 is the per-step
+    batch axis, sharded over the batch mesh axes."""
+    axes = _batch_axes(mesh)
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(
+            a, NamedSharding(mesh, P(None, axes, *([None] * (max(np.ndim(a), 2) - 2))))
+        ),
+        item,
+    )
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

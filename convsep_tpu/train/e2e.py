@@ -14,7 +14,6 @@ framing lands exactly on the model's time_context.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
@@ -96,15 +95,19 @@ def make_audio_loss_fn(preset: Preset) -> Callable:
 
 def make_audio_train_step(
     preset: Preset, opt: optax.GradientTransformation
-) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, jnp.ndarray]]:
-    """(state, mix (B, seg), stems (B, S, seg)) → (state, loss), one program."""
-    loss_fn = make_audio_loss_fn(preset)
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, dict]]:
+    """(state, mix (B, seg), stems (B, S, seg)) → (state, metrics), one
+    program (STFT + forward + backward + update)."""
+    from convsep_tpu.train.loop import step_from_loss
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, mix, stems):
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, mix, stems)
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(step=state.step + 1, params=params, opt_state=opt_state), loss
+    return step_from_loss(make_audio_loss_fn(preset), opt)
 
-    return train_step
+
+def make_audio_train_step_multi(
+    preset: Preset, opt: optax.GradientTransformation
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, dict]]:
+    """K-steps-per-dispatch variant: (state, mix (K,B,seg), stems
+    (K,B,S,seg)) → (state, {"loss": (K,), "grad_norm": (K,)})."""
+    from convsep_tpu.train.loop import multi_step_from_loss
+
+    return multi_step_from_loss(make_audio_loss_fn(preset), opt)

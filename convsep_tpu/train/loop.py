@@ -24,11 +24,12 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from convsep_tpu.configs.presets import Preset
 from convsep_tpu.data.pipeline import SegmentDataset, prefetch_to_device
-from convsep_tpu.distributed.mesh import put_leading, replicated
+from convsep_tpu.distributed.mesh import put_leading, put_stacked, replicated
 from convsep_tpu.models.convsep import ConvSep, trainable_config
 from convsep_tpu.models.masks import wiener_filter
 from convsep_tpu.train.losses import interference_matrix, separation_loss
@@ -59,11 +60,8 @@ def create_train_state(preset: Preset, rng: jax.Array | int = 0) -> tuple[TrainS
     return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt.init(params)), opt
 
 
-def make_train_step(
-    preset: Preset, opt: optax.GradientTransformation
-) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, jnp.ndarray]]:
-    """Build the jitted train step: (state, x (B,T,F,C), y (B,S,T,F)) →
-    (state, loss). State buffers are donated (updated in place in HBM)."""
+def _feature_loss_fn(preset: Preset) -> Callable:
+    """(params, x (B,T,F,C), y (B,S,T,F)) → loss, shared by train/eval."""
     cfg = trainable_config(preset.model)
     tr = preset.train
     model = ConvSep(cfg)
@@ -84,14 +82,71 @@ def make_train_step(
         est = wiener_filter(out, x[..., 0], p=1.0, eps=preset.sep.wiener_eps, axis=1)
         return separation_loss(est, y, interf, source_axis=1)
 
+    return loss_fn
+
+
+def step_from_loss(
+    loss_fn: Callable, opt: optax.GradientTransformation
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, dict]]:
+    """loss_fn → jitted donated-buffer step: (state, x, y) →
+    (state, {"loss": (), "grad_norm": ()}) (SURVEY.md §5.5 observability)."""
+
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, x, y):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, x, y)
+        gnorm = optax.global_norm(grads)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(step=state.step + 1, params=params, opt_state=opt_state), loss
+        new = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        return new, {"loss": loss, "grad_norm": gnorm}
 
     return train_step
+
+
+def multi_step_from_loss(
+    loss_fn: Callable, opt: optax.GradientTransformation
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, dict]]:
+    """K train steps per device dispatch (VERDICT r1 #3).
+
+    (state, xs (K,B,…), ys (K,B,…)) → (state, {"loss": (K,), "grad_norm":
+    (K,)}): a `lax.scan` over the K device-resident batches with the state
+    as donated carry, so the per-dispatch RPC floor (~30 ms on tunneled
+    rigs) amortizes over K steps. Identical math to K single steps —
+    equality-tested in tests/test_train.py.
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step_k(state: TrainState, xs, ys):
+        def body(st, xy):
+            x, y = xy
+            loss, grads = jax.value_and_grad(loss_fn)(st.params, x, y)
+            gnorm = optax.global_norm(grads)
+            updates, opt_state = opt.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            return (
+                TrainState(step=st.step + 1, params=params, opt_state=opt_state),
+                (loss, gnorm),
+            )
+
+        state, (losses, gnorms) = jax.lax.scan(body, state, (xs, ys))
+        return state, {"loss": losses, "grad_norm": gnorms}
+
+    return train_step_k
+
+
+def make_train_step(
+    preset: Preset, opt: optax.GradientTransformation
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, dict]]:
+    """Build the jitted train step: (state, x (B,T,F,C), y (B,S,T,F)) →
+    (state, metrics). State buffers are donated (updated in place in HBM)."""
+    return step_from_loss(_feature_loss_fn(preset), opt)
+
+
+def make_train_step_multi(
+    preset: Preset, opt: optax.GradientTransformation
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, dict]]:
+    """K-steps-per-dispatch variant of :func:`make_train_step`."""
+    return multi_step_from_loss(_feature_loss_fn(preset), opt)
 
 
 def make_eval_step(preset: Preset, from_audio: bool = False) -> Callable:
@@ -100,25 +155,7 @@ def make_eval_step(preset: Preset, from_audio: bool = False) -> Callable:
         from convsep_tpu.train.e2e import make_audio_loss_fn
 
         return jax.jit(make_audio_loss_fn(preset))
-    cfg = trainable_config(preset.model)
-    tr = preset.train
-    model = ConvSep(cfg)
-    interf = interference_matrix(
-        cfg.num_sources,
-        alpha=tr.alpha,
-        beta=tr.beta,
-        beta_voc=tr.beta_voc,
-        vocals_idx=tr.vocals_idx,
-        other_idx=tr.other_idx,
-    )
-
-    @jax.jit
-    def eval_step(params, x, y):
-        out = model.apply(params, x, method=ConvSep.sources)
-        est = wiener_filter(out, x[..., 0], p=1.0, eps=preset.sep.wiener_eps, axis=1)
-        return separation_loss(est, y, interf, source_axis=1)
-
-    return eval_step
+    return jax.jit(_feature_loss_fn(preset))
 
 
 class MetricsLogger:
@@ -180,11 +217,21 @@ class Trainer:
         self.from_audio = from_audio
         if from_audio:
             # STFT inside the step — consumes AudioSegmentDataset batches
-            from convsep_tpu.train.e2e import make_audio_train_step
+            from convsep_tpu.train.e2e import (
+                make_audio_train_step,
+                make_audio_train_step_multi,
+            )
 
             self.train_step = make_audio_train_step(preset, self.opt)
+            self._train_step_multi_builder = partial(
+                make_audio_train_step_multi, preset, self.opt
+            )
         else:
             self.train_step = make_train_step(preset, self.opt)
+            self._train_step_multi_builder = partial(
+                make_train_step_multi, preset, self.opt
+            )
+        self._train_step_multi = None  # built lazily (steps_per_dispatch > 1)
         self._eval_step = None
         # callable batch placer: per-leaf leading-axis sharding handles both
         # feature batches (B,T,F,C)/(B,T,F,S) and from-audio batches
@@ -276,18 +323,59 @@ class Trainer:
         if metrics_path is None and self.workdir:
             metrics_path = os.path.join(self.workdir, "metrics.jsonl")
         tb_dir = os.path.join(self.workdir, "tb") if (tensorboard and self.workdir) else None
-        logger = MetricsLogger(metrics_path, tensorboard_dir=tb_dir)
+        logger = MetricsLogger(
+            metrics_path, print_every=tr.log_every_steps, tensorboard_dir=tb_dir
+        )
         epoch_losses = []
         step = int(self.state.step)
         start_epoch = int(self._resume.get("epoch", 0))
         resume_batch = int(self._resume.get("batch_in_epoch", 0))
         resume_grain = self._resume.get("grain")
         self._resume = {}
-        put = self.batch_sharding if self.batch_sharding is not None else jax.device_put
+        K = max(1, int(tr.steps_per_dispatch))
+        if K > 1 and self._train_step_multi is None:
+            self._train_step_multi = self._train_step_multi_builder()
+        # training RTF (SURVEY.md §5.5): audio-seconds consumed per step
+        t_cfg = self.preset.transform
+        if self.from_audio:
+            from convsep_tpu.data.audio_dataset import segment_samples
+
+            seg_sec = segment_samples(self.preset) / t_cfg.fs
+        else:
+            seg_sec = tr.time_context * t_cfg.hop_size / t_cfg.fs
+        audio_sec_per_step = tr.batch_size * seg_sec
+
+        def _grouped(src):
+            """Group K (batch, dpos) items into one host-stacked dispatch;
+            the < K tail runs through the single-step program (no extra
+            compiled multi shapes)."""
+            buf = []
+            for b, dpos in src:
+                buf.append((b, dpos))
+                if len(buf) == K:
+                    xs = np.stack([x for (x, _y), _ in buf])
+                    ys = np.stack([y for (_x, y), _ in buf])
+                    yield "multi", (xs, ys), buf[-1][1]
+                    buf = []
+            for b, dpos in buf:
+                yield "single", b, dpos
+
+        def _put_item(item):
+            kind, xy, dpos = item
+            if self.mesh is not None:
+                placed = (
+                    put_stacked(self.mesh, xy)
+                    if kind == "multi"
+                    else put_leading(self.mesh, xy)
+                )
+            else:
+                placed = jax.device_put(xy)
+            return kind, placed, dpos
         try:
             for epoch in range(start_epoch, num_epochs):
                 t0 = time.perf_counter()
                 losses = []
+                gnorms = []
                 skip = resume_batch if epoch == start_epoch else 0
                 g0 = resume_grain if epoch == start_epoch else None
                 if use_grain:
@@ -310,28 +398,52 @@ class Trainer:
                             tr.batch_size, shuffle=True, seed=tr.seed + epoch, start=skip
                         )
                     )
+                src = (
+                    _grouped(batches)
+                    if K > 1
+                    else (("single", b, dpos) for b, dpos in batches)
+                )
                 consumed = skip
                 stop = False
-                for (x, y), dpos in prefetch_to_device(
-                    batches, sharding=lambda item: (put(item[0]), item[1])
-                ):
-                    self.state, loss = self.train_step(self.state, x, y)
-                    step += 1
-                    consumed += 1
-                    losses.append(loss)
+                t_win = time.perf_counter()
+                steps_win = 0
+                for kind, (x, y), dpos in prefetch_to_device(src, sharding=_put_item):
+                    fn = self._train_step_multi if kind == "multi" else self.train_step
+                    n = int(x.shape[0]) if kind == "multi" else 1
+                    prev_step = step
+                    self.state, m = fn(self.state, x, y)
+                    step += n
+                    consumed += n
+                    steps_win += n
+                    losses.append(jnp.atleast_1d(m["loss"]))
+                    gnorms.append(jnp.atleast_1d(m["grad_norm"]))
                     self._data_pos = {
                         "epoch": epoch, "batch_in_epoch": consumed, "grain": dpos
                     }
-                    if (
-                        self._ckpt is not None
-                        and step % tr.checkpoint_every_steps == 0
+                    if self._ckpt is not None and (
+                        step // tr.checkpoint_every_steps
+                        > prev_step // tr.checkpoint_every_steps
                     ):
                         self._save(step)
-                    # fetch lagged loss only every print_every steps — a
+                    # fetch lagged metrics only at the print cadence — a
                     # per-step host fetch costs an RPC that dwarfs the
                     # ~13 ms step itself on tunneled runtimes
-                    if step % logger.print_every == 0 and len(losses) >= 2:
-                        logger.log(step=step - 1, epoch=epoch, loss=float(losses[-2]))
+                    if (
+                        step // logger.print_every > prev_step // logger.print_every
+                        and len(losses) >= 2
+                    ):
+                        now = time.perf_counter()
+                        step_s = (now - t_win) / max(steps_win, 1)
+                        logger.log(
+                            step=step - n,
+                            epoch=epoch,
+                            loss=float(losses[-2][-1]),
+                            grad_norm=float(gnorms[-2][-1]),
+                            step_time_ms=round(step_s * 1e3, 3),
+                            rtf_train=round(audio_sec_per_step / step_s, 1),
+                        )
+                        t_win = now
+                        steps_win = 0
                     if max_steps is not None and step >= max_steps:
                         stop = True
                         break
@@ -339,7 +451,9 @@ class Trainer:
                     if self._ckpt is not None:
                         self._save(step)
                     break
-                mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+                mean_loss = (
+                    float(jnp.mean(jnp.concatenate(losses))) if losses else float("nan")
+                )
                 epoch_losses.append(mean_loss)
                 epoch_kv = dict(
                     step=step,

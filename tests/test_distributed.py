@@ -117,16 +117,18 @@ def test_dcn_train_step_matches_single_device():
     state_a, opt_a = create_train_state(preset, 0)
     step_a = make_train_step(preset, opt_a)
     for x, y in batches:
-        state_a, loss_a = step_a(state_a, jnp.asarray(x), jnp.asarray(y))
+        state_a, m_a = step_a(state_a, jnp.asarray(x), jnp.asarray(y))
+    loss_a = m_a["loss"]
 
     mesh = make_mesh(dcn=2, data=2, model=2)
     trainer = Trainer(preset, mesh=mesh)
     state_b = trainer.state
     sh = batch_sharding(mesh, 4)
     for x, y in batches:
-        state_b, loss_b = trainer.train_step(
+        state_b, m_b = trainer.train_step(
             state_b, jax.device_put(x, sh), jax.device_put(y, sh)
         )
+    loss_b = m_b["loss"]
     np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -58,15 +58,20 @@ def test_audio_train_loss_decreases(audio_root, preset):
     )
     state, opt = create_train_state(preset, 0)
     step = make_audio_train_step(preset, opt)
-    first = last = None
+    # per-batch losses are noisy on the tiny fixture and adadelta (lr=1)
+    # over-shoots — compare EPOCH MEANS with a margin (as the stereo e2e
+    # test does) instead of single first/last batch losses
+    epoch_means = []
     for epoch in range(4):
+        losses = []
         for mix, stems in ds.batches(4, shuffle=True, seed=epoch):
-            state, loss = step(state, jnp.asarray(mix), jnp.asarray(stems))
-            if first is None:
-                first = float(loss)
-            last = float(loss)
-    assert np.isfinite(last)
-    assert last < first, f"e2e loss did not decrease: {first} -> {last}"
+            state, m = step(state, jnp.asarray(mix), jnp.asarray(stems))
+            losses.append(float(m["loss"]))
+        epoch_means.append(float(np.mean(losses)))
+    assert np.isfinite(epoch_means).all()
+    assert min(epoch_means[1:]) < 0.9 * epoch_means[0], (
+        f"e2e loss did not decrease: epoch means {epoch_means}"
+    )
 
 
 def test_audio_train_step_rejects_bad_segment(audio_root, preset):

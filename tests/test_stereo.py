@@ -192,8 +192,8 @@ def test_stereo_e2e_train_loss_decreases(stereo_audio_root, preset):
     for epoch in range(6):
         losses = []
         for mix, stems in ds.batches(4, shuffle=True, seed=epoch):
-            state, loss = step(state, jnp.asarray(mix), jnp.asarray(stems))
-            losses.append(float(loss))
+            state, m = step(state, jnp.asarray(mix), jnp.asarray(stems))
+            losses.append(float(m["loss"]))
         epoch_means.append(float(np.mean(losses)))
     assert np.isfinite(epoch_means).all()
     assert min(epoch_means[1:]) < 0.9 * epoch_means[0], (

@@ -106,7 +106,8 @@ def test_mesh_data_parallel_matches_single_device(feature_dir):
     state_a, opt_a = create_train_state(preset, 0)
     step_a = make_train_step(preset, opt_a)
     for x, y in batches:
-        state_a, loss_a = step_a(state_a, jnp.asarray(x), jnp.asarray(y))
+        state_a, m_a = step_a(state_a, jnp.asarray(x), jnp.asarray(y))
+    loss_a = m_a["loss"]
 
     mesh = make_mesh(data=8, model=1)
     trainer = Trainer(preset, mesh=mesh)
@@ -115,9 +116,10 @@ def test_mesh_data_parallel_matches_single_device(feature_dir):
 
     sh = batch_sharding(mesh, 4)
     for x, y in batches:
-        state_b, loss_b = trainer.train_step(
+        state_b, m_b = trainer.train_step(
             state_b, jax.device_put(x, sh), jax.device_put(y, sh)
         )
+    loss_b = m_b["loss"]
 
     np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
     for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
@@ -287,3 +289,62 @@ def test_checkpoint_every_epochs_throttle(tmp_path):
     )
     # epochs 3 (idx 2) and final epoch 5 → exactly 2 checkpoints
     assert len(steps) == 2, steps
+
+
+def test_multi_step_dispatch_matches_single_steps(feature_dir):
+    """K steps per dispatch (lax.scan, VERDICT r1 #3) == K single steps."""
+    from convsep_tpu.train.loop import make_train_step_multi
+
+    preset = tiny_train_preset(num_epochs=1)
+    ds = _dataset(feature_dir, preset)
+    batches = list(ds.batches(8, shuffle=True, seed=0))[:4]
+
+    state_a, opt_a = create_train_state(preset, 0)
+    step_a = make_train_step(preset, opt_a)
+    la = []
+    for x, y in batches:
+        state_a, m = step_a(state_a, jnp.asarray(x), jnp.asarray(y))
+        la.append(float(m["loss"]))
+
+    state_b, opt_b = create_train_state(preset, 0)
+    step_k = make_train_step_multi(preset, opt_b)
+    xs = jnp.stack([jnp.asarray(x) for x, _ in batches])
+    ys = jnp.stack([jnp.asarray(y) for _, y in batches])
+    state_b, mk = step_k(state_b, xs, ys)
+    np.testing.assert_allclose(np.asarray(mk["loss"]), la, rtol=1e-5)
+    assert np.isfinite(np.asarray(mk["grad_norm"])).all()
+    assert int(state_b.step) == int(state_a.step) == 4
+    for a, b in zip(
+        jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_fit_steps_per_dispatch_and_observability(feature_dir, tmp_path):
+    """Trainer with steps_per_dispatch>1 matches the per-step loop's loss
+    trajectory and logs grad_norm / step_time_ms / rtf_train per record
+    (SURVEY.md §5.5, VERDICT r1 #6)."""
+    import json
+    import os
+
+    preset = tiny_train_preset(num_epochs=2, steps_per_dispatch=3, log_every_steps=2)
+    wd = str(tmp_path / "run")
+    trainer = Trainer(preset, workdir=wd)
+    losses = trainer.fit(_dataset(feature_dir, preset))
+    assert len(losses) == 2 and np.isfinite(losses).all()
+
+    p1 = tiny_train_preset(num_epochs=2)
+    losses1 = Trainer(p1).fit(_dataset(feature_dir, p1))
+    # epoch 0 is fp-noise-identical; later epochs drift through adadelta's
+    # accumulators (scan reassociation), so compare them loosely — the exact
+    # K-steps == K-dispatches equality lives in
+    # test_multi_step_dispatch_matches_single_steps
+    np.testing.assert_allclose(losses[0], losses1[0], rtol=1e-5)
+    np.testing.assert_allclose(losses, losses1, rtol=0.1)
+
+    records = [json.loads(l) for l in open(os.path.join(wd, "metrics.jsonl"))]
+    stepped = [r for r in records if "grad_norm" in r]
+    assert stepped, "no per-step metric records were written"
+    for r in stepped:
+        assert np.isfinite(r["loss"]) and np.isfinite(r["grad_norm"])
+        assert r["step_time_ms"] > 0 and r["rtf_train"] > 0
