@@ -1,5 +1,7 @@
-"""Separation (inference) layer: fused whole-track and batched streaming."""
+"""Separation (inference) layer: fused whole-track, chunked single-track
+streaming, and batched multi-track streaming."""
 
+from convsep_tpu.separate.chunked import ChunkedSeparator, separate_chunk
 from convsep_tpu.separate.pipeline import Separator, separate_fused, bucket_length
 from convsep_tpu.separate.stereo import StereoSeparator, separate_fused_stereo
 from convsep_tpu.separate.stream import (
@@ -10,6 +12,8 @@ from convsep_tpu.separate.stream import (
 )
 
 __all__ = [
+    "ChunkedSeparator",
+    "separate_chunk",
     "Separator",
     "separate_fused",
     "bucket_length",

@@ -1,0 +1,107 @@
+"""Chunked single-track streaming separation (VERDICT r1 #2).
+
+The contract: chunked output == whole-track fused output to float
+tolerance, for every chunk-boundary geometry (track shorter than one
+chunk, exact multiples, ragged tails, hop = W/2 and the W/4 spill
+boundary), with the OLA spill carried across seams on device.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from convsep_tpu.configs import get_preset
+from convsep_tpu.configs.presets import TransformConfig
+from convsep_tpu.models import ConvSep
+from convsep_tpu.separate import ChunkedSeparator, Separator
+
+
+def tiny_preset(frame_size=256, hop_size=128, name="dsd100"):
+    p = get_preset(name)
+    t = TransformConfig(fs=8000, frame_size=frame_size, hop_size=hop_size)
+    model = dataclasses.replace(
+        p.model,
+        time_context=10,
+        feat_size=t.bins,
+        conv1_filters=4,
+        conv1_freq=8,
+        conv2_filters=4,
+        bottleneck=16,
+    )
+    return dataclasses.replace(
+        p, transform=t, model=model, sep=dataclasses.replace(p.sep, segment_bucket=2)
+    )
+
+
+def _params(preset, seed=0):
+    cfg = preset.model
+    return ConvSep(cfg).init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((1, cfg.time_context, cfg.feat_size, cfg.channels_in)),
+    )
+
+
+@pytest.mark.parametrize("seconds", [0.4, 1.0, 2.37])
+@pytest.mark.parametrize("chunk_segments", [1, 3])
+def test_chunked_equals_whole_track(rng, seconds, chunk_segments):
+    preset = tiny_preset()
+    params = _params(preset)
+    L = int(seconds * preset.transform.fs)
+    audio = (0.1 * rng.standard_normal(L)).astype(np.float32)
+    whole = Separator(preset, params)(audio)
+    chunked = ChunkedSeparator(preset, params, chunk_segments=chunk_segments)(audio)
+    assert chunked.shape == whole.shape == (4, L)
+    np.testing.assert_allclose(chunked, whole, atol=1e-5)
+
+
+def test_chunked_hop_quarter_window(rng):
+    """hop == W/4: the spill margin spans 3 hops (k=4 OLA depth)."""
+    preset = tiny_preset(frame_size=256, hop_size=64)
+    params = _params(preset)
+    L = 11_111
+    audio = (0.1 * rng.standard_normal(L)).astype(np.float32)
+    whole = Separator(preset, params)(audio)
+    chunked = ChunkedSeparator(preset, params, chunk_segments=2)(audio)
+    np.testing.assert_allclose(chunked, whole, atol=1e-5)
+
+
+def test_chunked_pcm16_roundtrip(rng):
+    """int16-in/int16-out chunked == int16 whole-track (exact: same
+    quantization applied to near-identical floats)."""
+    preset = tiny_preset(name="ikala")
+    params = _params(preset)
+    L = 9_000
+    audio = (0.1 * rng.standard_normal(L)).astype(np.float32)
+    whole = Separator(preset, params, output_dtype="int16", input_dtype="int16")(audio)
+    chunked = ChunkedSeparator(
+        preset, params, chunk_segments=2, output_dtype="int16", input_dtype="int16"
+    )(audio)
+    assert chunked.dtype == np.int16
+    diff = np.abs(chunked.astype(np.int32) - whole.astype(np.int32))
+    assert diff.max() <= 1  # ±1 LSB where a float lands on a rounding edge
+
+
+def test_chunked_norm_cache_reused(rng):
+    preset = tiny_preset()
+    params = _params(preset)
+    cs = ChunkedSeparator(preset, params, chunk_segments=2)
+    for L in (6_000, 9_000, 12_345):
+        audio = (0.1 * rng.standard_normal(L)).astype(np.float32)
+        out = cs(audio)
+        assert out.shape == (4, L) and np.isfinite(out).all()
+    assert "first" in cs._norm_cache and "mid" in cs._norm_cache
+
+
+def test_chunked_rejects_unsupported_presets():
+    stereo = tiny_preset(name="dsd100")
+    stereo = dataclasses.replace(
+        stereo, model=dataclasses.replace(stereo.model, decoder_reduce="all", channels_in=2)
+    )
+    with pytest.raises(ValueError, match="single-channel"):
+        ChunkedSeparator(stereo, None)
+    bad_hop = tiny_preset(frame_size=256, hop_size=32)
+    with pytest.raises(ValueError, match="hop"):
+        ChunkedSeparator(bad_hop, None)
