@@ -122,8 +122,126 @@ def bss_eval_sources(
     return metrics[:, 0], metrics[:, 1], metrics[:, 2], np.asarray(perm)
 
 
+def bss_eval_windowed(
+    reference_sources: np.ndarray,
+    estimated_sources: np.ndarray,
+    fs: int,
+    window_s: float = 30.0,
+    hop_s: float = 15.0,
+    flen: int = 512,
+    reduce: str = "median",
+) -> dict:
+    """Campaign-style windowed evaluation (SiSEC/BSS Eval v3 convention:
+    30 s windows at 15 s hop, median over windows — VERDICT r1 #3).
+
+    (S, L) references + estimates → {"SDR": (S,), "SIR": (S,), "SAR": (S,),
+    "windows": n, "per_window": (n, S, 3)}. Windows where any reference is
+    silent (zero energy) are skipped, matching campaign practice.
+    """
+    refs = np.asarray(reference_sources, np.float64)
+    ests = np.asarray(estimated_sources, np.float64)
+    if refs.shape != ests.shape or refs.ndim != 2:
+        raise ValueError(f"shape mismatch: refs {refs.shape} vs ests {ests.shape}")
+    S, L = refs.shape
+    win = int(round(window_s * fs))
+    hop = int(round(hop_s * fs))
+    if L <= win:
+        starts = [0]
+        win = L
+    else:
+        starts = list(range(0, L - win + 1, hop))
+    rows = []
+    for s0 in starts:
+        r = refs[:, s0 : s0 + win]
+        e = ests[:, s0 : s0 + win]
+        if any(np.sum(x**2) == 0 for x in r):
+            continue  # silent-reference window: metric undefined, skip
+        sdr, sir, sar, _ = bss_eval_sources(r, e, flen=flen)
+        rows.append(np.stack([sdr, sir, sar], axis=-1))  # (S, 3)
+    if not rows:
+        raise ValueError("no evaluable windows (every window has a silent reference)")
+    per_window = np.stack(rows)  # (n, S, 3)
+    red = np.median if reduce == "median" else np.mean
+    agg = red(per_window, axis=0)  # (S, 3)
+    return {
+        "SDR": agg[:, 0],
+        "SIR": agg[:, 1],
+        "SAR": agg[:, 2],
+        "windows": len(rows),
+        "per_window": per_window,
+    }
+
+
+def bss_eval_stereo(
+    reference_sources: np.ndarray,
+    estimated_sources: np.ndarray,
+    flen: int = 512,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Stereo metric for (S, 2, L) stems (the stereo-native model's output
+    layout — VERDICT r1 #3): per-channel bss_eval_sources decompositions,
+    energy-combined per source.
+
+    Each channel's estimate is decomposed against that channel's references
+    (independent per-channel distortion filters, the bss_eval_images
+    relaxation); SDR/SIR/SAR per source then come from the channel-summed
+    target/interference/artifact energies, so a source panned hard to one
+    ear is dominated by the ear that carries it.
+    """
+    refs = np.asarray(reference_sources, np.float64)
+    ests = np.asarray(estimated_sources, np.float64)
+    if refs.shape != ests.shape or refs.ndim != 3 or refs.shape[1] != 2:
+        raise ValueError(f"expected (S, 2, L) stems, got {refs.shape} / {ests.shape}")
+    S = refs.shape[0]
+    # channel-summed energies per source: |s_t|², |e_i|², |e_i+e_a|²,
+    # |s_t+e_i|², |e_a|² — enough for all three ratios
+    acc = np.zeros((S, 5))
+    for c in range(2):
+        rc, ec = refs[:, c], ests[:, c]
+        active = [j for j in range(S) if np.sum(rc[j] ** 2) > 0]
+        if not active:
+            continue
+        # projection basis: this channel's reference, or — for hard-panned
+        # sources silent in this channel — the source's OTHER-channel
+        # content, so leakage into the wrong ear counts as interference
+        # (not artifact) while keeping the Gram nonsingular
+        basis_rows, basis_idx = [], []
+        for j in range(S):
+            if j in active:
+                basis_rows.append(rc[j])
+                basis_idx.append(j)
+            elif np.sum(refs[j, 1 - c] ** 2) > 0:
+                basis_rows.append(refs[j, 1 - c])
+                basis_idx.append(j)
+        basis = np.stack(basis_rows)
+        for j in range(S):
+            if j in active:
+                s_true = _project(ec[j], rc[j : j + 1], flen)
+            else:  # no target in this channel: everything is interf/artif
+                s_true = np.zeros_like(ec[j])
+            p_all = _project(ec[j], basis, flen)
+            e_interf = p_all - s_true
+            e_artif = ec[j] - p_all
+            acc[j, 0] += np.sum(s_true**2)
+            acc[j, 1] += np.sum(e_interf**2)
+            acc[j, 2] += np.sum((e_interf + e_artif) ** 2)
+            acc[j, 3] += np.sum((s_true + e_interf) ** 2)
+            acc[j, 4] += np.sum(e_artif**2)
+    eps = 1e-30
+    sdr = 10 * np.log10((acc[:, 0] + eps) / (acc[:, 2] + eps))
+    sir = 10 * np.log10((acc[:, 0] + eps) / (acc[:, 1] + eps))
+    sar = 10 * np.log10((acc[:, 3] + eps) / (acc[:, 4] + eps))
+    return sdr, sir, sar
+
+
 def sdr_only(reference: np.ndarray, estimate: np.ndarray) -> float:
-    """Plain (filter-free) SNR-style SDR — fast proxy for smoke tests."""
+    """Plain (filter-free) SNR-style SDR — fast proxy for smoke tests.
+
+    Zero-energy references (synthetic fixtures can produce silent stems)
+    return -inf instead of warning/raising like the main path.
+    """
     ref = np.asarray(reference, np.float64)
     est = np.asarray(estimate, np.float64)
-    return float(10 * np.log10(np.sum(ref**2) / (np.sum((ref - est) ** 2) + 1e-30)))
+    ref_energy = np.sum(ref**2)
+    if ref_energy == 0.0:
+        return float("-inf")
+    return float(10 * np.log10(ref_energy / (np.sum((ref - est) ** 2) + 1e-30)))
