@@ -121,6 +121,17 @@ def _nchw_to_nhwc_perm(cfg: ConvSepConfig) -> np.ndarray:
     return i.transpose(1, 2, 0).reshape(-1)  # in NHWC order
 
 
+def _nchw_to_fold_perm(cfg: ConvSepConfig) -> np.ndarray:
+    """Like `_nchw_to_nhwc_perm` but for the DECODE-side fold, whose order
+    is governed by cfg.expand_order: "wmajor" → (F', T', N2) (the zero-
+    transpose band-GEMM layout), "tmajor" → (T', F', N2) (r1 layout)."""
+    Tp, Fp, C = cfg.enc_time, cfg.enc_freq, cfg.conv2_filters
+    i = np.arange(C * Tp * Fp).reshape(C, Tp, Fp)  # NCHW flat ids
+    if cfg.expand_order == "wmajor":
+        return i.transpose(2, 1, 0).reshape(-1)  # (F', T', C) order
+    return i.transpose(1, 2, 0).reshape(-1)
+
+
 def _check(arr: np.ndarray, shape: tuple[int, ...], what: str) -> np.ndarray:
     if tuple(arr.shape) != shape:
         raise ValueError(
@@ -167,8 +178,9 @@ def convert_reference_params(
             exp_ws.append(_check(next(it), (cfg.bottleneck, cfg.enc_flat), f"expand{s}.W"))
         for s in range(S):
             exp_bs.append(_check(next(it), (cfg.enc_flat,), f"expand{s}.b"))
-    exp_ws = [w[:, perm] for w in exp_ws]
-    exp_bs = [b[perm] for b in exp_bs]
+    fold_perm = _nchw_to_fold_perm(cfg)
+    exp_ws = [w[:, fold_perm] for w in exp_ws]
+    exp_bs = [b[fold_perm] for b in exp_bs]
     if layout.merge_bias:
         out_bias = _check(next(it), (S,), "merge.b")
     else:
@@ -203,6 +215,9 @@ def export_reference_params(
     perm = _nchw_to_nhwc_perm(cfg)
     inv = np.empty_like(perm)
     inv[perm] = np.arange(perm.size)
+    fold_perm = _nchw_to_fold_perm(cfg)
+    fold_inv = np.empty_like(fold_perm)
+    fold_inv[fold_perm] = np.arange(fold_perm.size)
 
     def conv_kernel(k):  # HWIO → OIHW (+ spatial flip per layout)
         k = np.asarray(k).transpose(3, 2, 0, 1)
@@ -225,8 +240,8 @@ def export_reference_params(
     S = cfg.num_sources
     ew = np.asarray(p["fc_expand"]["kernel"]).reshape(cfg.bottleneck, S, cfg.enc_flat)
     eb = np.asarray(p["fc_expand"]["bias"]).reshape(S, cfg.enc_flat)
-    ws = [np.ascontiguousarray(ew[:, s, inv]) for s in range(S)]
-    bs = [np.ascontiguousarray(eb[s, inv]) for s in range(S)]
+    ws = [np.ascontiguousarray(ew[:, s, fold_inv]) for s in range(S)]
+    bs = [np.ascontiguousarray(eb[s, fold_inv]) for s in range(S)]
     if layout.expand_interleaved:
         for w, b in zip(ws, bs):
             out.extend([w, b])

@@ -76,6 +76,15 @@ class ConvSepConfig:
     # stages, "conv_transpose" = lax.conv_transpose (reference-shaped vjp
     # formulation, kept for parity tests). Identical math in all three.
     decoder_impl: str = "band"
+    # Column order of the fc_expand weight — i.e. the layout the expansion
+    # dense's output "fold" arrives in. "wmajor" (default): (W', Tp, C) so
+    # the band GEMM + w-major freq decode consume it with ZERO transposes
+    # (a weight-column permutation is free for the GEMM; the r1 layout paid
+    # a materialized w-relayout of the ~270 MB fold — ROADMAP r2 #3).
+    # "tmajor": the r1 (Tp, W', C) order, kept as a decision record and for
+    # loading r1-era orbax checkpoints. The checkpoint converter maps
+    # reference pickles into either order (ckpt/convert_reference.py).
+    expand_order: str = "wmajor"
 
     @property
     def conv2_time_eff(self) -> int:
@@ -305,6 +314,23 @@ def freq_decode_wmajor(
     return o.transpose(0, 2, 1, 3)
 
 
+def _band_matrix_for(kernel: jnp.ndarray, Tp: int) -> jnp.ndarray:
+    """(kh, 1, I, O) tied time-kernel → dense (Tp·O, T·I) banded tap matrix
+    for the w-major band GEMM (zeros outside the kh-tap band)."""
+    kh, kw, I, O = kernel.shape
+    if kw != 1:
+        raise ValueError(f"band decode expects a (kh, 1, I, O) kernel, got {kernel.shape}")
+    T = Tp + kh - 1
+    hp = jnp.arange(Tp)[:, None]
+    H = jnp.arange(T)[None, :]
+    delta = H - hp
+    valid = (delta >= 0) & (delta < kh)
+    idx = jnp.clip(delta, 0, kh - 1)
+    taps = kernel[:, 0].transpose(0, 2, 1)  # (kh, O, I)
+    band = taps[idx] * valid[:, :, None, None].astype(kernel.dtype)  # (Tp,T,O,I)
+    return band.transpose(0, 2, 1, 3).reshape(Tp * O, T * I)
+
+
 def band_decode_wmajor(y: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """Time-stage band decode as an EXPLICIT 2-D GEMM with w-major output.
 
@@ -316,21 +342,21 @@ def band_decode_wmajor(y: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     for dsd100 (W=162) — XLA physically produced the einsum's output as
     (H, i, n, w) and paid a big relayout where W is wide.
     """
-    kh, kw, I, O = kernel.shape
-    if kw != 1:
-        raise ValueError(f"band decode expects a (kh, 1, I, O) kernel, got {kernel.shape}")
-    N, Tp, W, _ = y.shape
-    T = Tp + kh - 1
-    hp = jnp.arange(Tp)[:, None]
-    H = jnp.arange(T)[None, :]
-    delta = H - hp
-    valid = (delta >= 0) & (delta < kh)
-    idx = jnp.clip(delta, 0, kh - 1)
-    taps = kernel[:, 0].transpose(0, 2, 1)  # (kh, O, I)
-    band = taps[idx] * valid[:, :, None, None].astype(kernel.dtype)  # (Tp,T,O,I)
-    bm = band.transpose(0, 2, 1, 3).reshape(Tp * O, T * I)
+    N, Tp, W, O = y.shape
+    bm = _band_matrix_for(kernel, Tp)
     y2 = y.transpose(0, 2, 1, 3).reshape(N * W, Tp * O)
-    return (y2 @ bm).reshape(N, W, T, I)
+    T = Tp + kernel.shape[0] - 1
+    return (y2 @ bm).reshape(N, W, T, kernel.shape[2])
+
+
+def band_decode_wmajor_fold(z: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """`band_decode_wmajor` consuming an ALREADY w-major fold (N, W, Tp, O)
+    — the expand_order="wmajor" layout — with zero transposes anywhere:
+    the fold reshapes straight into the GEMM's row-major LHS."""
+    N, W, Tp, O = z.shape
+    bm = _band_matrix_for(kernel, Tp)
+    T = Tp + kernel.shape[0] - 1
+    return (z.reshape(N * W, Tp * O) @ bm).reshape(N, W, T, kernel.shape[2])
 
 
 def _pad_to(out: jnp.ndarray, out_spatial: Sequence[int]) -> jnp.ndarray:
@@ -420,8 +446,20 @@ class ConvSep(nn.Module):
         S = cfg.num_sources
         exp = nn.Dense(S * cfg.enc_flat, name="fc_expand", dtype=dt)(fc)
         exp = nn.relu(exp)
-        # fold sources into batch for the grouped transposed convs
-        z = exp.reshape(B * S, cfg.enc_time, cfg.enc_freq, cfg.conv2_filters)
+        # fold sources into batch for the grouped transposed convs; with
+        # expand_order="wmajor" the dense's columns are ordered (W', Tp, C)
+        # so the w-major decode chain consumes the fold with NO transpose
+        wmajor = cfg.expand_order == "wmajor"
+        if wmajor:
+            zwm = exp.reshape(B * S, cfg.enc_freq, cfg.enc_time, cfg.conv2_filters)
+            z = None  # t-major view built lazily for the non-band impls
+        elif cfg.expand_order == "tmajor":
+            zwm = None
+            z = exp.reshape(B * S, cfg.enc_time, cfg.enc_freq, cfg.conv2_filters)
+        else:
+            raise ValueError(f"unknown expand_order {cfg.expand_order!r}")
+        if z is None and cfg.decoder_impl not in ("band", "band_pallas"):
+            z = zwm.transpose(0, 2, 1, 3)  # parity impls want (N, Tp, W', C)
         if cfg.decoder_impl == "fused":
             d1 = tied_conv_transpose_fused2d(
                 z, k1c, k2c, cfg.conv1_freq_stride,
@@ -433,20 +471,25 @@ class ConvSep(nn.Module):
             # copy nor the (T,F)-plane transpose ever materializes
             from convsep_tpu.models.decoder_pallas import band_decode_pallas
 
-            d2wm = band_decode_pallas(z, k2c, cfg.time_context)
+            zt = zwm.transpose(0, 2, 1, 3) if wmajor else z
+            d2wm = band_decode_pallas(zt, k2c, cfg.time_context)
             d2wm = d2wm.reshape(
                 B * S, cfg.enc_freq, cfg.time_context, cfg.conv1_filters
             )
             d1 = freq_decode_wmajor(d2wm, k1c, cfg.conv1_freq_stride, cfg.feat_size)
         elif cfg.decoder_impl == "band":
-            d2wm = band_decode_wmajor(z, k2c)
+            d2wm = (
+                band_decode_wmajor_fold(zwm, k2c)
+                if wmajor
+                else band_decode_wmajor(z, k2c)
+            )
             d1 = freq_decode_wmajor(d2wm, k1c, cfg.conv1_freq_stride, cfg.feat_size)
         elif cfg.decoder_impl == "band_einsum":
             d2 = tied_conv_transpose_band(z, k2c)
             d1 = tied_conv_transpose_regular(
                 d2, k1c, s1, (cfg.time_context, cfg.feat_size)
             )
-        else:
+        elif cfg.decoder_impl in ("conv", "conv_transpose"):
             decode = (
                 tied_conv_transpose_regular
                 if cfg.decoder_impl == "conv"
@@ -454,6 +497,11 @@ class ConvSep(nn.Module):
             )
             d2 = decode(z, k2c, (1, 1), (cfg.time_context, cfg.enc_freq))
             d1 = decode(d2, k1c, s1, (cfg.time_context, cfg.feat_size))
+        else:
+            raise ValueError(
+                f"unknown decoder_impl {cfg.decoder_impl!r}; have "
+                "band | band_pallas | band_einsum | fused | conv | conv_transpose"
+            )
         # (B*S, T, F, C) → collapse channels → (B, S, T, F); leading-dim
         # reshape only — no materialized transpose
         out_bias = self.param("out_bias", nn.initializers.zeros, (S,))
