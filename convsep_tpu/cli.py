@@ -181,7 +181,17 @@ def _cmd_separate(args) -> int:
             mag, notes, fs=preset.transform.fs, hop=preset.transform.hop_size
         ) * preset.train.mult_factor_in
     # stems quantized to PCM16 on device — the wav precision, half the transfer
-    sep = Separator(preset, params, output_dtype="int16", input_dtype="int16")
+    if args.chunked and extra is None and not stereo:
+        from convsep_tpu.separate import ChunkedSeparator
+
+        sep = ChunkedSeparator(
+            preset, params, chunk_segments=args.chunk_segments,
+            output_dtype="int16", input_dtype="int16",
+        )
+    else:
+        if args.chunked:
+            print("note: --chunked supports plain mono runs; using whole-track path")
+        sep = Separator(preset, params, output_dtype="int16", input_dtype="int16")
     os.makedirs(args.out, exist_ok=True)
     if stereo:
         # per-channel separation through the same compiled program → stereo stems
@@ -471,6 +481,8 @@ def main(argv=None) -> int:
     se.add_argument("--score", default=None, help="dir with <source>.notes.txt for score-informed runs")
     se.add_argument("--stereo", action="store_true", help="separate channels independently → stereo stems (default: downmix to mono)")
     se.add_argument("--wiener-p", type=float, default=None, help="generalized Wiener exponent (default: preset, 1.0; 2.0 = classic Wiener)")
+    se.add_argument("--chunked", action="store_true", help="stream the track in fixed-size chunks (overlapped transfers, track-length-independent compile)")
+    se.add_argument("--chunk-segments", type=int, default=16, help="time-context windows per chunk for --chunked")
     se.add_argument("--unsafe-pickle", action="store_true", help="allow arbitrary (unrestricted) pickle loading; only for trusted checkpoint files")
     se.add_argument("--decoder-impl", default=None, choices=("band", "band_einsum", "fused", "conv", "conv_transpose", "band_pallas"), help="tied-decoder implementation override (default: preset; see docs/PALLAS_PROFILE.md)")
     se.set_defaults(fn=_cmd_separate)

@@ -207,8 +207,10 @@ class ChunkedSeparator:
         return inv
 
     # -- streaming -----------------------------------------------------------
-    def __call__(self, audio: np.ndarray) -> np.ndarray:
+    def __call__(self, audio: np.ndarray, extra=None) -> np.ndarray:
         """mono (length,) mixture → (num_sources, length) stems."""
+        if extra is not None:
+            raise ValueError("chunked separation does not take extra channels")
         audio = np.asarray(audio)
         if audio.ndim != 1:
             raise ValueError(f"expected mono (length,) audio, got {audio.shape}")

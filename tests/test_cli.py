@@ -259,3 +259,34 @@ def test_profile_cli(tmp_path, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "trace ->" in out
+
+
+def test_separate_chunked_flag(audio_dir, tmp_path):
+    """--chunked routes through ChunkedSeparator and matches the whole-track
+    CLI output exactly (both paths quantize to PCM16 on device)."""
+    import pickle
+
+    from tests.test_convert import _random_reference_values
+
+    preset = _tiny_ikala()
+    vals = _random_reference_values(preset.model, np.random.default_rng(2))
+    pkl = str(tmp_path / "model.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(vals, f, protocol=2)
+    mix = os.path.join(audio_dir, "track0", "mixture.wav")
+    whole = str(tmp_path / "whole")
+    chunked = str(tmp_path / "chunked")
+    assert cli.main([
+        "separate", "--preset", "tinyikala", "--params", pkl, "-i", mix, "-o", whole,
+    ]) == 0
+    assert cli.main([
+        "separate", "--preset", "tinyikala", "--params", pkl, "-i", mix,
+        "-o", chunked, "--chunked", "--chunk-segments", "2",
+    ]) == 0
+    from convsep_tpu.data.io import read_wav
+
+    for name in os.listdir(whole):
+        _, a = read_wav(os.path.join(whole, name))
+        _, b = read_wav(os.path.join(chunked, name))
+        diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert diff.max() <= 1  # ±1 LSB on float rounding edges
