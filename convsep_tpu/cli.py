@@ -157,7 +157,15 @@ def _cmd_separate(args) -> int:
             raise ValueError(f"preset {preset.name!r} needs a stereo input wav")
         if args.score:
             raise ValueError("score conditioning is not supported by stereo presets")
-        ssep = StereoSeparator(preset, params, output_dtype="int16", input_dtype="int16")
+        if args.chunked:
+            from convsep_tpu.separate import ChunkedSeparator
+
+            ssep = ChunkedSeparator(
+                preset, params, chunk_segments=args.chunk_segments,
+                output_dtype="int16", input_dtype="int16",
+            )
+        else:
+            ssep = StereoSeparator(preset, params, output_dtype="int16", input_dtype="int16")
         stems = ssep(audio)  # (S, L, 2)
         os.makedirs(args.out, exist_ok=True)
         for name, stem in zip(preset.sources, stems):

@@ -1,7 +1,11 @@
 """Separation (inference) layer: fused whole-track, chunked single-track
 streaming, and batched multi-track streaming."""
 
-from convsep_tpu.separate.chunked import ChunkedSeparator, separate_chunk
+from convsep_tpu.separate.chunked import (
+    ChunkedSeparator,
+    separate_chunk,
+    separate_chunk_stereo,
+)
 from convsep_tpu.separate.pipeline import Separator, separate_fused, bucket_length
 from convsep_tpu.separate.stereo import StereoSeparator, separate_fused_stereo
 from convsep_tpu.separate.stream import (
@@ -14,6 +18,7 @@ from convsep_tpu.separate.stream import (
 __all__ = [
     "ChunkedSeparator",
     "separate_chunk",
+    "separate_chunk_stereo",
     "Separator",
     "separate_fused",
     "bucket_length",

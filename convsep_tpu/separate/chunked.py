@@ -125,6 +125,57 @@ def separate_chunk(
     return out, new_spill
 
 
+@partial(jax.jit, static_argnames=("preset", "chunk_segments", "output_dtype"), donate_argnums=(2,))
+def separate_chunk_stereo(
+    params,
+    audio_slice: jnp.ndarray,
+    spill: jnp.ndarray,
+    inv_norm_slice: jnp.ndarray,
+    preset: Preset,
+    chunk_segments: int,
+    output_dtype: str = "float32",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Stereo-native chunk: (2, Fc*hop + W - hop) slice + (S, 2, W - hop)
+    spill → ((S, 2, Fc*hop) stems chunk, new spill). Same OLA-carry design
+    as `separate_chunk` with the joint-channel model of separate/stereo.py.
+    """
+    t, m, tr = preset.transform, preset.model, preset.train
+    if m.channels_in != 2 or m.decoder_reduce != "all":
+        raise ValueError("separate_chunk_stereo needs a stereo preset")
+    W, hop, T = t.frame_size, t.hop_size, m.time_context
+    Fc = T * chunk_segments
+    nfft = t.nfft or W
+    S = m.num_sources
+    if audio_slice.dtype == jnp.int16:
+        audio_slice = audio_slice.astype(jnp.float32) * (1.0 / 32768.0)
+    win = _window(preset)
+    frames = frame_signal(audio_slice, W, hop, Fc)  # (2, Fc, W)
+    cos_m, sin_m = _forward_mats(nfft, W, _key(win))
+    hp = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    re = jnp.matmul(frames, jnp.asarray(cos_m), **hp)  # (2, Fc, bins)
+    im = jnp.matmul(frames, jnp.asarray(sin_m), **hp)
+    mag = scale_magnitude(jnp.sqrt(re * re + im * im), t.iscale) * tr.mult_factor_in
+    x = mag.reshape(2, chunk_segments, T, m.feat_size).transpose(1, 2, 3, 0)
+    y = ConvSep(m).apply(params, x, method=ConvSep.sources)  # (cs, S, T, F, 2)
+    y_frames = y.transpose(1, 4, 0, 2, 3).reshape(S, 2, Fc, m.feat_size)
+    mask = wiener_mask(
+        y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=0
+    )
+    inv_a, inv_b = _inverse_mats(nfft, W, _key(win))
+    fr = jnp.matmul(mask * re[None], jnp.asarray(inv_a), **hp) + jnp.matmul(
+        mask * im[None], jnp.asarray(inv_b), **hp
+    )  # (S, 2, Fc, W)
+    ola = overlap_add(fr, hop)
+    margin = W - hop
+    head = ola[..., :margin] + spill
+    out = jnp.concatenate([head, ola[..., margin : Fc * hop]], axis=-1)
+    out = out * inv_norm_slice
+    new_spill = ola[..., Fc * hop :]
+    if output_dtype == "int16":
+        out = jnp.clip(out * 32768.0, -32768.0, 32767.0).astype(jnp.int16)
+    return out, new_spill
+
+
 class ChunkedSeparator:
     """Stream ONE track through the fused program in chunks.
 
@@ -148,7 +199,11 @@ class ChunkedSeparator:
         fetch_streams: int = 4,
     ):
         t, m = preset.transform, preset.model
-        if m.channels_in != 1 or m.decoder_reduce == "all" or t.multires:
+        self._stereo = m.decoder_reduce == "all"
+        if self._stereo:
+            if m.channels_in != 2 or t.multires:
+                raise ValueError(f"unsupported stereo preset {preset.name!r}")
+        elif m.channels_in != 1 or t.multires:
             raise ValueError(
                 "chunked separation supports plain single-channel presets "
                 f"(got {preset.name!r})"
@@ -208,17 +263,26 @@ class ChunkedSeparator:
 
     # -- streaming -----------------------------------------------------------
     def __call__(self, audio: np.ndarray, extra=None) -> np.ndarray:
-        """mono (length,) mixture → (num_sources, length) stems."""
+        """mono (length,) mixture → (num_sources, length) stems; for stereo
+        presets (2, length) or (length, 2) → (num_sources, length, 2) stems
+        (StereoSeparator's wav-friendly layout)."""
         if extra is not None:
             raise ValueError("chunked separation does not take extra channels")
         audio = np.asarray(audio)
-        if audio.ndim != 1:
+        if self._stereo:
+            if audio.ndim != 2:
+                raise ValueError(f"expected stereo audio, got {audio.shape}")
+            if audio.shape[1] == 2 and audio.shape[0] != 2:
+                audio = audio.T  # (L, 2) wav layout → (2, L)
+            elif audio.shape[0] != 2:
+                raise ValueError(f"expected a 2-channel axis, got {audio.shape}")
+        elif audio.ndim != 1:
             raise ValueError(f"expected mono (length,) audio, got {audio.shape}")
         t, m = self.preset.transform, self.preset.model
         W, hop, T = t.frame_size, t.hop_size, m.time_context
         S = m.num_sources
         Fc = T * self.chunk_segments
-        L = int(audio.shape[0])
+        L = int(audio.shape[-1])
         nf = num_frames(L, hop)
         nc = max(1, math.ceil(nf / Fc))
         if self.input_dtype == "int16":
@@ -232,15 +296,18 @@ class ChunkedSeparator:
             dt = np.float32
         # one padded buffer in STFT "padded coordinates": W//2 front zeros +
         # audio + zero tail out to the last chunk's framing margin
-        padded = np.zeros(nc * Fc * hop + (W - hop), dt)
-        padded[W // 2 : W // 2 + L] = audio
+        lead = (2,) if self._stereo else ()
+        padded = np.zeros(lead + (nc * Fc * hop + (W - hop),), dt)
+        padded[..., W // 2 : W // 2 + L] = audio
 
-        spill = jnp.zeros((S, W - hop), jnp.float32)
+        spill_shape = (S, 2, W - hop) if self._stereo else (S, W - hop)
+        spill = jnp.zeros(spill_shape, jnp.float32)
+        chunk_fn = separate_chunk_stereo if self._stereo else separate_chunk
         futs = []
         span = Fc * hop
         for i in range(nc):
-            dev = jnp.asarray(padded[i * span : i * span + span + (W - hop)])
-            out, spill = separate_chunk(
+            dev = jnp.asarray(padded[..., i * span : i * span + span + (W - hop)])
+            out, spill = chunk_fn(
                 self.params,
                 dev,
                 spill,
@@ -254,5 +321,6 @@ class ChunkedSeparator:
             futs.append([self._pool.submit(np.asarray, out[s]) for s in range(S)])
         full = np.concatenate(
             [np.stack([f.result() for f in fs], 0) for fs in futs], axis=-1
-        )  # (S, nc*Fc*hop) in padded coordinates
-        return full[:, W // 2 : W // 2 + L]
+        )  # (S[, 2], nc*Fc*hop) in padded coordinates
+        full = full[..., W // 2 : W // 2 + L]
+        return full.transpose(0, 2, 1) if self._stereo else full

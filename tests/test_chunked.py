@@ -96,12 +96,37 @@ def test_chunked_norm_cache_reused(rng):
 
 
 def test_chunked_rejects_unsupported_presets():
-    stereo = tiny_preset(name="dsd100")
-    stereo = dataclasses.replace(
-        stereo, model=dataclasses.replace(stereo.model, decoder_reduce="all", channels_in=2)
+    score = tiny_preset(name="dsd100")
+    score = dataclasses.replace(
+        score, model=dataclasses.replace(score.model, channels_in=5)
     )
     with pytest.raises(ValueError, match="single-channel"):
-        ChunkedSeparator(stereo, None)
+        ChunkedSeparator(score, None)
     bad_hop = tiny_preset(frame_size=256, hop_size=32)
     with pytest.raises(ValueError, match="hop"):
         ChunkedSeparator(bad_hop, None)
+
+
+def test_chunked_stereo_equals_whole_track(rng):
+    """Stereo-native chunked == StereoSeparator (joint-channel model with
+    the OLA spill carried per channel)."""
+    from convsep_tpu.configs.presets import stereo_preset
+    from convsep_tpu.separate import StereoSeparator
+
+    base = tiny_preset(name="ikala")
+    preset = stereo_preset(
+        dataclasses.replace(
+            base, model=dataclasses.replace(base.model, channels_in=1)
+        )
+    )
+    params = _params(preset)
+    L = 9_321
+    audio = (0.1 * rng.standard_normal((2, L))).astype(np.float32)
+    audio[1] *= 0.3  # asymmetric ears exercise per-channel masks
+    whole = StereoSeparator(preset, params)(audio)  # (S, L, 2)
+    chunked = ChunkedSeparator(preset, params, chunk_segments=2)(audio)
+    assert chunked.shape == whole.shape == (2, L, 2)
+    np.testing.assert_allclose(chunked, whole, atol=1e-5)
+    # (L, 2) wav-layout input accepted too
+    chunked2 = ChunkedSeparator(preset, params, chunk_segments=3)(audio.T)
+    np.testing.assert_allclose(chunked2, whole, atol=1e-5)
