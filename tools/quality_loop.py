@@ -1,0 +1,133 @@
+"""Full-journey quality regression: synthetic dataset → compute-features →
+train → fused separate → BSS Eval (+ ideal-mask oracle headroom).
+
+The sandbox has no real corpora (README caveat), so this is the repeatable
+stand-in for the reference's campaign loop: it proves the whole CLI journey
+trains, separates, and evaluates end to end on the current backend, and
+anchors the model SDR against the ideal-soft-mask oracle (VERDICT r1 #5).
+
+    python tools/quality_loop.py --preset dsd100 --epochs 10 --out /tmp/ql
+
+Prints one JSON line: per-stem model SDR/SIR, oracle SDR, headroom, and
+the train-loss trajectory. Runs on whatever backend jax selects (TPU under
+axon; force CPU with JAX_PLATFORMS=cpu for a smoke run).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="dsd100")
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--tracks", type=int, default=4)
+    ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--out", default="/tmp/convsep_quality")
+    ap.add_argument("--steps-per-dispatch", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from convsep_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import dataclasses
+
+    from convsep_tpu.configs import get_preset
+    from convsep_tpu.data.io import write_wav
+    from convsep_tpu.data.synth import sine_mixture
+    from convsep_tpu.data.features import compute_features
+    from convsep_tpu.data.pipeline import SegmentDataset
+    from convsep_tpu.eval import bss_eval_sources, oracle_stems
+    from convsep_tpu.separate import Separator
+    from convsep_tpu.train.loop import Trainer
+
+    preset = get_preset(args.preset)
+    preset = dataclasses.replace(
+        preset,
+        train=dataclasses.replace(
+            preset.train,
+            num_epochs=args.epochs,
+            steps_per_dispatch=args.steps_per_dispatch,
+            checkpoint_optimizer_state=False,
+            checkpoint_every_epochs=max(1, args.epochs),
+        ),
+    )
+    fs = preset.transform.fs
+    S = preset.model.num_sources
+    L = int(args.seconds * fs)
+
+    # --- dataset: train tracks + one held-out test track -------------------
+    audio_dir = os.path.join(args.out, "audio")
+    for i in range(args.tracks + 1):  # last one is held out
+        tdir = os.path.join(audio_dir, f"track{i}")
+        os.makedirs(tdir, exist_ok=True)
+        stems, mix = sine_mixture(S, L, fs=fs, seed=args.seed + i)
+        for name, stem in zip(preset.sources, stems):
+            write_wav(os.path.join(tdir, f"{name}.wav"), fs, stem.astype(np.float32))
+        write_wav(os.path.join(tdir, "mixture.wav"), fs, mix.astype(np.float32))
+    held = os.path.join(audio_dir, f"track{args.tracks}")
+    train_dir = os.path.join(args.out, "train_audio")
+    os.makedirs(train_dir, exist_ok=True)
+    for i in range(args.tracks):
+        dst = os.path.join(train_dir, f"track{i}")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(audio_dir, f"track{i}"), dst)
+
+    # --- features + training ----------------------------------------------
+    feats = os.path.join(args.out, "feats")
+    compute_features(train_dir, feats, preset)
+    ds = SegmentDataset(
+        feats,
+        preset.sources,
+        time_context=preset.train.time_context,
+        overlap=preset.train.overlap,
+        mult_factor_in=preset.train.mult_factor_in,
+        mult_factor_out=preset.train.mult_factor_out,
+    )
+    trainer = Trainer(preset, workdir=os.path.join(args.out, "run"))
+    losses = trainer.fit(ds)
+
+    # --- held-out separation + eval ---------------------------------------
+    from convsep_tpu.data.io import read_wav
+
+    _, mix = read_wav(os.path.join(held, "mixture.wav"))
+    refs = np.stack(
+        [read_wav(os.path.join(held, f"{s}.wav"))[1] for s in preset.sources]
+    )
+    sep = Separator(preset, trainer.state.params)
+    ests = sep(np.asarray(mix, np.float32))[:, : refs.shape[1]]
+    sdr, sir, _, _ = bss_eval_sources(refs, ests[:, : refs.shape[1]], flen=512)
+    orc = oracle_stems(np.asarray(mix, np.float32)[: refs.shape[1]], refs, preset)
+    osdr, _, _, _ = bss_eval_sources(refs, orc, flen=512)
+
+    result = {
+        "preset": args.preset,
+        "epochs": args.epochs,
+        "loss_first": round(float(losses[0]), 4),
+        "loss_last": round(float(losses[-1]), 4),
+        "stems": {
+            name: {
+                "SDR": round(float(a), 2),
+                "SIR": round(float(b), 2),
+                "oracle_SDR": round(float(o), 2),
+                "headroom_dB": round(float(o - a), 2),
+            }
+            for name, a, b, o in zip(preset.sources, sdr, sir, osdr)
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
