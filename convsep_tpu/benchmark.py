@@ -267,7 +267,7 @@ def run_benchmark(
     _progress("headline: chunked single-track streaming")
     try:
         cs = ChunkedSeparator(
-            preset, params, chunk_segments=16, output_dtype="int16", input_dtype="int16"
+            preset, params, chunk_segments=32, output_dtype="int16", input_dtype="int16"
         )
         cs(host_pcm16)  # compile + warm
         chunk_times = []

@@ -490,7 +490,7 @@ def main(argv=None) -> int:
     se.add_argument("--stereo", action="store_true", help="separate channels independently → stereo stems (default: downmix to mono)")
     se.add_argument("--wiener-p", type=float, default=None, help="generalized Wiener exponent (default: preset, 1.0; 2.0 = classic Wiener)")
     se.add_argument("--chunked", action="store_true", help="stream the track in fixed-size chunks (overlapped transfers, track-length-independent compile)")
-    se.add_argument("--chunk-segments", type=int, default=16, help="time-context windows per chunk for --chunked")
+    se.add_argument("--chunk-segments", type=int, default=32, help="time-context windows per chunk for --chunked")
     se.add_argument("--unsafe-pickle", action="store_true", help="allow arbitrary (unrestricted) pickle loading; only for trusted checkpoint files")
     se.add_argument("--decoder-impl", default=None, choices=("band", "band_einsum", "fused", "conv", "conv_transpose", "band_pallas"), help="tied-decoder implementation override (default: preset; see docs/PALLAS_PROFILE.md)")
     se.set_defaults(fn=_cmd_separate)

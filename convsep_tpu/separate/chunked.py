@@ -179,7 +179,7 @@ def separate_chunk_stereo(
 class ChunkedSeparator:
     """Stream ONE track through the fused program in chunks.
 
-    >>> cs = ChunkedSeparator(preset, params, chunk_segments=16)
+    >>> cs = ChunkedSeparator(preset, params)
     >>> stems = cs(audio)            # (num_sources, len(audio))
 
     Equality with the whole-track Separator is exact up to float
@@ -193,7 +193,7 @@ class ChunkedSeparator:
         self,
         preset: Preset,
         params,
-        chunk_segments: int = 16,
+        chunk_segments: int = 32,
         output_dtype: str = "float32",
         input_dtype: str = "float32",
         fetch_streams: int = 4,
