@@ -154,3 +154,45 @@ def test_dcn_stream_separation_matches_unsharded():
     sharded = StreamSeparator(preset, params, mesh=mesh).separate_many(tracks)
     for a, b in zip(plain, sharded):
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_mesh_multi_step_dispatch_matches_single_device():
+    """K-steps-per-dispatch under dp sharding == unsharded K single steps."""
+    from tests.test_train import tiny_train_preset, _dataset
+    from convsep_tpu.data import synth_feature_dir
+    from convsep_tpu.distributed.mesh import put_stacked, replicated
+    from convsep_tpu.train.loop import (
+        create_train_state,
+        make_train_step,
+        make_train_step_multi,
+    )
+    import tempfile
+
+    preset = tiny_train_preset(num_epochs=1)
+    with tempfile.TemporaryDirectory() as d:
+        synth_feature_dir(
+            d, ("vocals", "accompaniment"), num_tracks=2, seconds=1.5,
+            fs=8000, frame_size=256, hop_size=128,
+        )
+        ds = _dataset(d, preset)
+        batches = list(ds.batches(8, shuffle=True, seed=0))[:3]
+
+    state_a, opt_a = create_train_state(preset, 0)
+    step_a = make_train_step(preset, opt_a)
+    la = []
+    for x, y in batches:
+        state_a, m = step_a(state_a, jnp.asarray(x), jnp.asarray(y))
+        la.append(float(m["loss"]))
+
+    mesh = make_mesh(data=4, model=2)
+    state_b, opt_b = create_train_state(preset, 0)
+    state_b = jax.device_put(state_b, replicated(mesh))
+    stepk = make_train_step_multi(preset, opt_b)
+    xs = put_stacked(mesh, np.stack([x for x, _ in batches]))
+    ys = put_stacked(mesh, np.stack([y for _, y in batches]))
+    state_b, mk = stepk(state_b, xs, ys)
+    np.testing.assert_allclose(np.asarray(mk["loss"]), la, rtol=1e-5)
+    for a, b in zip(
+        jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
