@@ -17,6 +17,8 @@ def main() -> int:
     ap.add_argument("--preset", default="dsd100")
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--time-budget", type=float, default=1500.0,
+                    help="matrix compile budget (raise for cache-warming runs)")
     args = ap.parse_args()
 
     from convsep_tpu.utils import enable_compilation_cache
@@ -24,7 +26,10 @@ def main() -> int:
     enable_compilation_cache()
     from convsep_tpu.benchmark import run_benchmark
 
-    result = run_benchmark(args.preset, seconds=args.seconds, runs=args.runs, matrix=True)
+    result = run_benchmark(
+        args.preset, seconds=args.seconds, runs=args.runs, matrix=True,
+        time_budget_s=args.time_budget,
+    )
     print(json.dumps(result))
     return 0
 

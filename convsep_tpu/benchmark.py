@@ -181,6 +181,7 @@ def run_benchmark(
     seed: int = 0,
     matrix: bool = False,  # bench.py (the driver) opts in; programmatic
     # callers shouldn't silently pay the multi-preset compile cost
+    time_budget_s: float = 1500.0,
 ) -> dict:
     preset = get_preset(preset_name)
     cfg = preset.model
@@ -347,7 +348,11 @@ def run_benchmark(
 
     # full preset matrix (VERDICT r1 #9) — every preset's batched RTF is in
     # the driver-recorded BENCH, not just the headline preset's
-    presets_detail = preset_matrix(seconds=seconds, seed=seed) if matrix else {}
+    presets_detail = (
+        preset_matrix(seconds=seconds, seed=seed, time_budget_s=time_budget_s)
+        if matrix
+        else {}
+    )
     _progress("done")
 
     # headline = the batched streaming path (production config #4); labeled
