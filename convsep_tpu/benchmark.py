@@ -346,6 +346,38 @@ def run_benchmark(
     except Exception as e:  # record the failure rather than killing the bench
         rtf_batched_pallas = f"failed: {type(e).__name__}"
 
+    # bf16 MXU variant (params stay fp32; activations/matmuls bf16): on the
+    # v5e fp32 matmuls execute as multi-pass bf16, so this is the
+    # native-speed path — measured batched (vmap) so dispatch overhead
+    # doesn't dilute the device-time difference. Quality impact is
+    # quantified separately (tools/quality_loop.py --compute-dtype).
+    import dataclasses as _dc
+
+    from convsep_tpu.separate.stream import separate_batch as _sb
+
+    _progress("headline: bf16 compute variant (vmap B=8)")
+    bf_preset = _dc.replace(
+        preset, model=_dc.replace(preset.model, compute_dtype="bfloat16")
+    )
+    try:
+        stacked8 = jnp.stack([jnp.asarray(host_audio + np.float32(i) * 1e-6) for i in range(8)])
+        fbf = lambda b: _sb(params, b, bf_preset, Lb, None, "int16")  # noqa: E731
+        np.asarray(fbf(stacked8)[..., :8])
+        t0 = time.perf_counter()
+        for r in range(2):
+            np.asarray(fbf(stacked8 + jnp.float32(r * 1e-7))[..., :8])
+        rtf_bf16 = audio_sec / ((time.perf_counter() - t0) / 16)
+        # fp32 vmap B=8 comparator under the same harness
+        ff32 = lambda b: _sb(params, b, preset, Lb, None, "int16")  # noqa: E731
+        np.asarray(ff32(stacked8)[..., :8])
+        t0 = time.perf_counter()
+        for r in range(2):
+            np.asarray(ff32(stacked8 + jnp.float32(r * 1e-7))[..., :8])
+        rtf_f32_vmap8 = audio_sec / ((time.perf_counter() - t0) / 16)
+    except Exception as e:
+        rtf_bf16 = f"failed: {type(e).__name__}"
+        rtf_f32_vmap8 = None
+
     # full preset matrix (VERDICT r1 #9) — every preset's batched RTF is in
     # the driver-recorded BENCH, not just the headline preset's
     presets_detail = (
@@ -379,6 +411,12 @@ def run_benchmark(
             # analytic FLOPs + achieved TFLOP/s at the headline per-track
             # time (utils/flops.py; VERDICT r1 #4)
             **compute_mfu(preset, Lb, per_track_b, jax.devices()[0].device_kind),
+            "rtf_batched_bf16_vmap8": (
+                round(rtf_bf16, 2) if isinstance(rtf_bf16, float) else rtf_bf16
+            ),
+            "rtf_batched_f32_vmap8": (
+                round(rtf_f32_vmap8, 2) if isinstance(rtf_f32_vmap8, float) else None
+            ),
             "rtf_batched_pallas_impl": (
                 round(rtf_batched_pallas, 2)
                 if isinstance(rtf_batched_pallas, float)

@@ -31,6 +31,7 @@ def main() -> int:
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--out", default="/tmp/convsep_quality")
     ap.add_argument("--steps-per-dispatch", type=int, default=1)
+    ap.add_argument("--compute-dtype", default=None, choices=(None, "float32", "bfloat16"))
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -52,6 +53,11 @@ def main() -> int:
     from convsep_tpu.train.loop import Trainer
 
     preset = get_preset(args.preset)
+    if args.compute_dtype:
+        preset = dataclasses.replace(
+            preset,
+            model=dataclasses.replace(preset.model, compute_dtype=args.compute_dtype),
+        )
     preset = dataclasses.replace(
         preset,
         train=dataclasses.replace(
@@ -112,6 +118,7 @@ def main() -> int:
 
     result = {
         "preset": args.preset,
+        "compute_dtype": preset.model.compute_dtype,
         "epochs": args.epochs,
         "loss_first": round(float(losses[0]), 4),
         "loss_last": round(float(losses[-1]), 4),
