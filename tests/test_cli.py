@@ -290,3 +290,28 @@ def test_separate_chunked_flag(audio_dir, tmp_path):
         _, b = read_wav(os.path.join(chunked, name))
         diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
         assert diff.max() <= 1  # ±1 LSB on float rounding edges
+
+
+def test_evaluate_windowed_and_oracle(audio_dir, tmp_path, capsys):
+    """evaluate --windowed --oracle: windowed metrics + oracle/headroom."""
+    import shutil
+
+    ref = str(tmp_path / "ref")
+    est = str(tmp_path / "est")
+    os.makedirs(ref)
+    os.makedirs(est)
+    for s in ("vocals", "accompaniment"):
+        shutil.copy(os.path.join(audio_dir, "track0", f"{s}.wav"), ref)
+        shutil.copy(os.path.join(audio_dir, "track0", f"{s}.wav"), est)
+    mix_wav = os.path.join(audio_dir, "track0", "mixture.wav")
+    capsys.readouterr()
+    assert cli.main([
+        "evaluate", "--ref-dir", ref, "--est-dir", est, "--flen", "16",
+        "--windowed", "--oracle", "--mix", mix_wav, "--preset", "tinyikala",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["_windows"] >= 1
+    for s in ("vocals", "accompaniment"):
+        row = out[s]
+        assert row["SDR"] > 40  # est == ref
+        assert np.isfinite(row["oracle_SDR"]) and np.isfinite(row["headroom_dB"])
