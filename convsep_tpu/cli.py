@@ -189,7 +189,7 @@ def _cmd_separate(args) -> int:
             mag, notes, fs=preset.transform.fs, hop=preset.transform.hop_size
         ) * preset.train.mult_factor_in
     # stems quantized to PCM16 on device — the wav precision, half the transfer
-    if args.chunked and extra is None and not stereo:
+    if args.chunked and not preset.transform.multires:
         from convsep_tpu.separate import ChunkedSeparator
 
         sep = ChunkedSeparator(
@@ -198,7 +198,7 @@ def _cmd_separate(args) -> int:
         )
     else:
         if args.chunked:
-            print("note: --chunked supports plain mono runs; using whole-track path")
+            print("note: --chunked does not support multires presets; using whole-track path")
         sep = Separator(preset, params, output_dtype="int16", input_dtype="int16")
     os.makedirs(args.out, exist_ok=True)
     if stereo:
@@ -271,6 +271,36 @@ def _cmd_separate_batch(args) -> int:
                 write_wav(os.path.join(outdir, f"{sname}.wav"), preset.transform.fs, wav)
             done += 1
     print(f"separated {done} tracks -> {args.out}")
+    return 0
+
+
+def _cmd_serve(args) -> int:
+    """Watch-folder separation service (separate/service.py)."""
+    from convsep_tpu.configs import get_preset
+    from convsep_tpu.separate.service import WatchService
+
+    preset = get_preset(args.preset)
+    params = _load_params(args.params, preset, allow_unsafe=args.unsafe_pickle)
+    mesh = None
+    if args.mesh_data > 1:
+        from convsep_tpu.distributed import make_mesh
+
+        mesh = make_mesh(data=args.mesh_data)
+    svc = WatchService(
+        preset,
+        params,
+        args.input_dir,
+        args.out,
+        batch_size=args.batch_size,
+        poll_s=args.poll,
+        mesh=mesh,
+    )
+    print(f"serving {args.input_dir} -> {args.out} (ctrl-c to stop)")
+    total = svc.run(
+        max_sweeps=args.max_sweeps,
+        on_sweep=lambda n: n and print(f"separated {n} tracks"),
+    )
+    print(f"served {total} tracks")
     return 0
 
 
@@ -505,6 +535,18 @@ def main(argv=None) -> int:
     sb.add_argument("--unsafe-pickle", action="store_true", help="allow arbitrary (unrestricted) pickle loading; only for trusted checkpoint files")
     sb.add_argument("--decoder-impl", default=None, choices=("band", "band_einsum", "fused", "conv", "conv_transpose", "band_pallas"), help="tied-decoder implementation override (default: preset)")
     sb.set_defaults(fn=_cmd_separate_batch)
+
+    sv = sub.add_parser("serve", help="watch a directory; separate wavs as they arrive")
+    sv.add_argument("--preset", required=True)
+    sv.add_argument("--params", required=True)
+    sv.add_argument("--input-dir", required=True)
+    sv.add_argument("-o", "--out", required=True)
+    sv.add_argument("--batch-size", type=int, default=4)
+    sv.add_argument("--poll", type=float, default=1.0, help="sweep interval seconds")
+    sv.add_argument("--mesh-data", type=int, default=1)
+    sv.add_argument("--max-sweeps", type=int, default=None, help="stop after N sweeps (default: run forever)")
+    sv.add_argument("--unsafe-pickle", action="store_true")
+    sv.set_defaults(fn=_cmd_serve)
 
     ev = sub.add_parser("evaluate", help="BSS Eval SDR/SIR/SAR of estimated stems")
     ev.add_argument("--ref-dir", required=True)

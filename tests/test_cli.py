@@ -315,3 +315,65 @@ def test_evaluate_windowed_and_oracle(audio_dir, tmp_path, capsys):
         row = out[s]
         assert row["SDR"] > 40  # est == ref
         assert np.isfinite(row["oracle_SDR"]) and np.isfinite(row["headroom_dB"])
+
+
+def test_serve_watch_folder(audio_dir, tmp_path):
+    """serve: separates wavs as they arrive; already-done tracks skipped;
+    crash-safe resume = just run another sweep."""
+    import pickle
+    import shutil
+
+    from tests.test_convert import _random_reference_values
+    from convsep_tpu.separate.service import WatchService
+    from convsep_tpu.ckpt.convert_reference import convert_reference_params
+
+    preset = _tiny_ikala()
+    vals = _random_reference_values(preset.model, np.random.default_rng(3))
+    params = convert_reference_params(vals, preset.model)
+
+    incoming = str(tmp_path / "incoming")
+    out = str(tmp_path / "done")
+    os.makedirs(incoming)
+    shutil.copy(os.path.join(audio_dir, "track0", "mixture.wav"),
+                os.path.join(incoming, "a.wav"))
+
+    svc = WatchService(preset, params, incoming, out, batch_size=2, poll_s=0.01)
+    # sweep 1 sees a.wav but its size is not yet known-stable -> deferred
+    assert svc.sweep() == 0
+    assert svc.sweep() == 1
+    assert sorted(os.listdir(os.path.join(out, "a"))) == [
+        "accompaniment.wav", "vocals.wav",
+    ]
+    # nothing new: no work
+    assert svc.sweep() == 0
+    # a new wav arrives; stability check defers once, then it separates
+    shutil.copy(os.path.join(audio_dir, "track1", "mixture.wav"),
+                os.path.join(incoming, "b.wav"))
+    assert svc.run(max_sweeps=2) == 1
+    assert svc._done("b") and svc._done("a")
+
+
+def test_serve_cli(audio_dir, tmp_path):
+    import pickle
+
+    from tests.test_convert import _random_reference_values
+
+    preset = _tiny_ikala()
+    vals = _random_reference_values(preset.model, np.random.default_rng(4))
+    pkl = str(tmp_path / "model.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(vals, f, protocol=2)
+    incoming = str(tmp_path / "incoming")
+    os.makedirs(incoming)
+    import shutil
+
+    shutil.copy(os.path.join(audio_dir, "track0", "mixture.wav"),
+                os.path.join(incoming, "t.wav"))
+    out = str(tmp_path / "served")
+    assert cli.main([
+        "serve", "--preset", "tinyikala", "--params", pkl,
+        "--input-dir", incoming, "-o", out, "--poll", "0.01", "--max-sweeps", "3",
+    ]) == 0
+    assert sorted(os.listdir(os.path.join(out, "t"))) == [
+        "accompaniment.wav", "vocals.wav",
+    ]
