@@ -60,6 +60,7 @@ def separate_chunk(
     preset: Preset,
     chunk_segments: int,
     output_dtype: str = "float32",
+    extra: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One chunk of the fused pipeline with OLA carry.
 
@@ -69,6 +70,8 @@ def separate_chunk(
     spill: (S, W - hop) unnormalized OLA tail carried from the previous
     chunk (zeros for the first). inv_norm_slice: (Fc*hop,) reciprocal
     window-power normalization for this chunk's output span.
+    extra: optional (Fc, F, C-1) score-informed channels for this chunk's
+    frames (already scaled like the mixture input, SURVEY.md §3.4).
 
     → (stems_chunk (S, Fc*hop), new_spill (S, W - hop)).
     """
@@ -96,6 +99,10 @@ def separate_chunk(
         )
     mag = scale_magnitude(jnp.sqrt(re * re + im * im), t.iscale) * tr.mult_factor_in
     x = mag.reshape(chunk_segments, T, m.feat_size)[..., None]
+    if extra is not None:
+        x = jnp.concatenate(
+            [x, extra.reshape(chunk_segments, T, m.feat_size, -1)], axis=-1
+        )
     y = ConvSep(m).apply(params, x, method=ConvSep.sources)  # (cs, S, T, F)
     y_frames = y.transpose(1, 0, 2, 3).reshape(S, Fc, m.feat_size)
     mask = wiener_mask(
@@ -203,11 +210,17 @@ class ChunkedSeparator:
         if self._stereo:
             if m.channels_in != 2 or t.multires:
                 raise ValueError(f"unsupported stereo preset {preset.name!r}")
-        elif m.channels_in != 1 or t.multires:
+            self._n_extra = 0
+        elif t.multires:
             raise ValueError(
-                "chunked separation supports plain single-channel presets "
-                f"(got {preset.name!r})"
+                "chunked separation does not support multires presets "
+                f"(got {preset.name!r}): the extra channels use different "
+                "frame sizes whose chunk grids do not align"
             )
+        else:
+            # channels_in > 1 → score-informed preset: the caller supplies
+            # (n_frames, F, channels_in-1) conditioning via `extra`
+            self._n_extra = m.channels_in - 1
         if t.frame_size % t.hop_size != 0:
             raise ValueError("chunked separation requires W % hop == 0")
         if 4 * t.hop_size < t.frame_size:
@@ -265,9 +278,21 @@ class ChunkedSeparator:
     def __call__(self, audio: np.ndarray, extra=None) -> np.ndarray:
         """mono (length,) mixture → (num_sources, length) stems; for stereo
         presets (2, length) or (length, 2) → (num_sources, length, 2) stems
-        (StereoSeparator's wav-friendly layout)."""
-        if extra is not None:
-            raise ValueError("chunked separation does not take extra channels")
+        (StereoSeparator's wav-friendly layout).
+
+        `extra`: (n_frames, F, channels_in-1) score-informed channels
+        (required iff the preset has channels_in > 1); sliced per chunk and
+        streamed alongside the audio chunks."""
+        if self._n_extra == 0:
+            if extra is not None:
+                raise ValueError(
+                    f"preset {self.preset.name!r} takes no extra channels"
+                )
+        elif extra is None:
+            raise ValueError(
+                f"preset {self.preset.name!r} needs (n_frames, F, "
+                f"{self._n_extra}) extra score channels"
+            )
         audio = np.asarray(audio)
         if self._stereo:
             if audio.ndim != 2:
@@ -299,6 +324,17 @@ class ChunkedSeparator:
         lead = (2,) if self._stereo else ()
         padded = np.zeros(lead + (nc * Fc * hop + (W - hop),), dt)
         padded[..., W // 2 : W // 2 + L] = audio
+        ex_padded = None
+        if self._n_extra:
+            extra = np.asarray(extra, np.float32)
+            if extra.shape[1:] != (m.feat_size, self._n_extra):
+                raise ValueError(
+                    f"extra must be (n_frames, {m.feat_size}, {self._n_extra}),"
+                    f" got {extra.shape}"
+                )
+            ex_padded = np.zeros((nc * Fc, m.feat_size, self._n_extra), np.float32)
+            n = min(nf, extra.shape[0])
+            ex_padded[:n] = extra[:n]
 
         spill_shape = (S, 2, W - hop) if self._stereo else (S, W - hop)
         spill = jnp.zeros(spill_shape, jnp.float32)
@@ -307,6 +343,9 @@ class ChunkedSeparator:
         span = Fc * hop
         for i in range(nc):
             dev = jnp.asarray(padded[..., i * span : i * span + span + (W - hop)])
+            kw = {}
+            if ex_padded is not None:
+                kw["extra"] = jnp.asarray(ex_padded[i * Fc : (i + 1) * Fc])
             out, spill = chunk_fn(
                 self.params,
                 dev,
@@ -315,6 +354,7 @@ class ChunkedSeparator:
                 self.preset,
                 self.chunk_segments,
                 self.output_dtype,
+                **kw,
             )
             # fetch immediately on the pool: downloads of chunk i overlap
             # the (async-dispatched) compute of chunks > i

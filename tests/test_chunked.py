@@ -96,15 +96,40 @@ def test_chunked_norm_cache_reused(rng):
 
 
 def test_chunked_rejects_unsupported_presets():
-    score = tiny_preset(name="dsd100")
-    score = dataclasses.replace(
-        score, model=dataclasses.replace(score.model, channels_in=5)
+    multires = tiny_preset(name="dsd100")
+    multires = dataclasses.replace(
+        multires,
+        transform=dataclasses.replace(multires.transform, multires=(64, 128)),
     )
-    with pytest.raises(ValueError, match="single-channel"):
-        ChunkedSeparator(score, None)
+    with pytest.raises(ValueError, match="multires"):
+        ChunkedSeparator(multires, None)
     bad_hop = tiny_preset(frame_size=256, hop_size=32)
     with pytest.raises(ValueError, match="hop"):
         ChunkedSeparator(bad_hop, None)
+
+
+def test_chunked_score_informed_equals_whole_track(rng):
+    """Score-conditioned (extra-channels) chunked == whole-track: the
+    conditioning channels are sliced per chunk on the same frame grid
+    (SURVEY.md §3.4 separation path)."""
+    preset = tiny_preset(name="bach10")
+    preset = dataclasses.replace(
+        preset, model=dataclasses.replace(preset.model, channels_in=5)
+    )
+    params = _params(preset)
+    L = 10_000
+    audio = (0.1 * rng.standard_normal(L)).astype(np.float32)
+    from convsep_tpu.dsp.stft import num_frames
+
+    nf = num_frames(L, preset.transform.hop_size)
+    extra = rng.random((nf, preset.model.feat_size, 4)).astype(np.float32)
+    whole = Separator(preset, params)(audio, extra=extra)
+    chunked = ChunkedSeparator(preset, params, chunk_segments=2)(audio, extra=extra)
+    assert chunked.shape == whole.shape == (4, L)
+    np.testing.assert_allclose(chunked, whole, atol=1e-5)
+    # missing conditioning is a hard error, not a silent unconditioned run
+    with pytest.raises(ValueError, match="extra"):
+        ChunkedSeparator(preset, params, chunk_segments=2)(audio)
 
 
 def test_chunked_stereo_equals_whole_track(rng):
