@@ -67,6 +67,25 @@ def separate_batch_scan(
 
 
 @partial(jax.jit, static_argnames=("preset", "length", "output_dtype"))
+def separate_batch_scan_stereo(
+    params,
+    tracks: jnp.ndarray,
+    preset: Preset,
+    length: int,
+    output_dtype: str = "float32",
+) -> jnp.ndarray:
+    """(B, 2, length) → (B, S, 2, length) with tracks run sequentially in
+    one dispatch (`lax.map`) — the stereo analog of `separate_batch_scan`:
+    single-track working-set memory, loop body compiled once."""
+    from convsep_tpu.separate.stereo import separate_fused_stereo
+
+    return jax.lax.map(
+        lambda a: separate_fused_stereo(params, a, preset, length, output_dtype),
+        tracks,
+    )
+
+
+@partial(jax.jit, static_argnames=("preset", "length", "output_dtype"))
 def separate_batch_stereo(
     params,
     tracks: jnp.ndarray,

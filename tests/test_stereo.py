@@ -217,6 +217,27 @@ def test_stereo_stream_matches_single(preset, params):
         np.testing.assert_allclose(o.transpose(0, 2, 1), single(t), atol=1e-4)
 
 
+def test_stereo_batch_scan_matches_vmap(preset, params):
+    """lax.map stereo batch (single-dispatch bench path) == vmap batch."""
+    import jax.numpy as jnp
+
+    from convsep_tpu.separate.pipeline import bucket_length
+    from convsep_tpu.separate.stream import (
+        separate_batch_scan_stereo,
+        separate_batch_stereo,
+    )
+
+    tracks = stereo_tracks(3, seconds=0.9)
+    Lb = bucket_length(max(t.shape[-1] for t in tracks), preset)
+    stacked = jnp.stack(
+        [jnp.pad(jnp.asarray(t), ((0, 0), (0, Lb - t.shape[-1]))) for t in tracks]
+    )
+    a = separate_batch_stereo(params, stacked, preset, Lb)
+    b = separate_batch_scan_stereo(params, stacked, preset, Lb)
+    assert a.shape == b.shape == (3, 2, 2, Lb)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_stereo_stream_mesh_matches_unsharded(preset, params):
     from convsep_tpu.distributed import make_mesh
     from convsep_tpu.separate import StreamSeparator
