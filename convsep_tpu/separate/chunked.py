@@ -183,6 +183,42 @@ def separate_chunk_stereo(
     return out, new_spill
 
 
+def inv_norm_slice(
+    preset: Preset, chunk_segments: int, i: int, nc: int, nf: int, cache: dict
+) -> jnp.ndarray:
+    """Device inv-norm slice for chunk i of nc (nf true frames).
+
+    Middle chunks all see the steady-state periodic sequence; only the
+    first (ramp-up) and last (tail) differ — three cached arrays cover any
+    track length. Shared by ChunkedSeparator and OnlineSeparator so both
+    paths use byte-identical normalization.
+    """
+    t = preset.transform
+    W, hop = t.frame_size, t.hop_size
+    Fc = preset.model.time_context * chunk_segments
+    span = Fc * hop
+    if i == 0 and nc == 1:
+        key = ("only", nf)
+    elif i == 0:
+        key = "first"
+    elif i == nc - 1:
+        key = ("last", nf, nc)
+    else:
+        key = "mid"
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
+    win = _window(preset)
+    norm = ola_norm(win, win, hop, nf)  # ((nf-1)*hop + W,)
+    total = nc * span
+    if len(norm) < total:
+        norm = np.concatenate([norm, np.ones(total - len(norm), np.float32)])
+    inv = jnp.asarray(1.0 / norm[i * span : (i + 1) * span])
+    if key in ("first", "mid") or len(cache) < 64:
+        cache[key] = inv
+    return inv
+
+
 class ChunkedSeparator:
     """Stream ONE track through the fused program in chunks.
 
@@ -243,36 +279,9 @@ class ChunkedSeparator:
 
     # -- normalization slices ------------------------------------------------
     def _inv_norm_dev(self, i: int, nc: int, nf: int) -> jnp.ndarray:
-        """Device inv-norm slice for chunk i of nc (nf true frames).
-
-        Middle chunks all see the steady-state periodic sequence; only the
-        first (ramp-up) and last (tail) differ — three cached arrays cover
-        any track length.
-        """
-        t = self.preset.transform
-        W, hop = t.frame_size, t.hop_size
-        Fc = self.preset.model.time_context * self.chunk_segments
-        span = Fc * hop
-        if i == 0 and nc == 1:
-            key = ("only", nf)
-        elif i == 0:
-            key = "first"
-        elif i == nc - 1:
-            key = ("last", nf, nc)
-        else:
-            key = "mid"
-        cached = self._norm_cache.get(key)
-        if cached is not None:
-            return cached
-        win = _window(self.preset)
-        norm = ola_norm(win, win, hop, nf)  # ((nf-1)*hop + W,)
-        total = nc * span
-        if len(norm) < total:
-            norm = np.concatenate([norm, np.ones(total - len(norm), np.float32)])
-        inv = jnp.asarray(1.0 / norm[i * span : (i + 1) * span])
-        if key in ("first", "mid") or len(self._norm_cache) < 64:
-            self._norm_cache[key] = inv
-        return inv
+        return inv_norm_slice(
+            self.preset, self.chunk_segments, i, nc, nf, self._norm_cache
+        )
 
     # -- streaming -----------------------------------------------------------
     def __call__(self, audio: np.ndarray, extra=None) -> np.ndarray:

@@ -1,0 +1,216 @@
+"""Push-based online separation: feed sample blocks, pop finished stems.
+
+The reference's per-segment host loop (separate_dsd.py [U], SURVEY.md §3.3)
+was the closest it had to an online mode — it still required the whole
+track up front. This is the genuine live-streaming capability: arbitrary-
+size sample blocks go in as they arrive (a capture callback, a socket, a
+decoder), and separated stems come out with a fixed, known latency of
+``latency_samples`` (one chunk span + one analysis window).
+
+    >>> osep = OnlineSeparator(preset, params, chunk_segments=8)
+    >>> for block in capture():          # any block sizes, any cadence
+    ...     play(osep.push(block))       # (S, n_new) newly finished stems
+    >>> play(osep.flush())               # drain the tail after end-of-stream
+
+Design: the same compiled chunk program as `ChunkedSeparator` (one fused
+frames→DFT→CNN→mask→iDFT→OLA dispatch per chunk, device-resident spill
+carry across seams), driven by a rolling host buffer instead of a
+pre-sliced track. A chunk is dispatched as soon as enough samples exist
+that its output can no longer be affected by future pushes — the
+window-power normalization for such a chunk is provably in steady state,
+so the emitted samples are bit-identical to what `ChunkedSeparator` /
+the whole-track `Separator` would produce for the completed track
+(tests/test_online.py pins this for random push sizes).
+
+Chunk latency is `chunk_segments * time_context * hop` samples (the span)
+plus one window: dsd100's preset at chunk_segments=4 is ~0.72 s of audio —
+set `chunk_segments` by the latency budget; throughput prefers it large.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from convsep_tpu.configs.presets import Preset
+from convsep_tpu.dsp.stft import num_frames
+from convsep_tpu.separate.chunked import (
+    inv_norm_slice,
+    separate_chunk,
+    separate_chunk_stereo,
+)
+
+
+class OnlineSeparator:
+    """Streaming push/flush separation with bounded latency.
+
+    push(samples) → (S, n_new) [stereo: (S, 2, n_new)] newly finished stem
+    samples (often length 0 until a chunk boundary passes); flush() → the
+    final tail. Concatenating every return value yields exactly the
+    whole-track separation of the concatenated pushes.
+    """
+
+    def __init__(
+        self,
+        preset: Preset,
+        params,
+        chunk_segments: int = 8,
+        output_dtype: str = "float32",
+        input_dtype: str = "float32",
+    ):
+        t, m = preset.transform, preset.model
+        self._stereo = m.decoder_reduce == "all"
+        if self._stereo:
+            if m.channels_in != 2 or t.multires:
+                raise ValueError(f"unsupported stereo preset {preset.name!r}")
+        elif m.channels_in != 1 or t.multires:
+            raise ValueError(
+                "online separation supports plain mono/stereo presets "
+                f"(got {preset.name!r}); score-informed and multires "
+                "conditioning has no streaming source to arrive from"
+            )
+        if t.frame_size % t.hop_size != 0:
+            raise ValueError("online separation requires W % hop == 0")
+        if 4 * t.hop_size < t.frame_size:
+            raise ValueError(
+                "online separation requires hop >= W/4 (spill fits one seam)"
+            )
+        if output_dtype not in ("float32", "int16"):
+            raise ValueError(f"output_dtype must be float32|int16, got {output_dtype}")
+        if input_dtype not in ("float32", "int16"):
+            raise ValueError(f"input_dtype must be float32|int16, got {input_dtype}")
+        self.preset = preset
+        self.params = params
+        self.chunk_segments = int(chunk_segments)
+        self.output_dtype = output_dtype
+        self.input_dtype = input_dtype
+        self._W, self._hop = t.frame_size, t.hop_size
+        self._span = m.time_context * self.chunk_segments * t.hop_size
+        self._norm_cache: dict = {}
+        self.reset()
+
+    # -- stream geometry -----------------------------------------------------
+    @property
+    def latency_samples(self) -> int:
+        """Samples that must arrive past a chunk's start before that chunk's
+        output is emitted (worst-case algorithmic latency)."""
+        return self._span + self._W
+
+    @property
+    def chunk_samples(self) -> int:
+        """Output granularity: stems are emitted `chunk_samples` at a time."""
+        return self._span
+
+    def reset(self) -> None:
+        """Forget all stream state; the next push starts a new track."""
+        S = self.preset.model.num_sources
+        dt = np.int16 if self.input_dtype == "int16" else np.float32
+        lead = (2,) if self._stereo else ()
+        # rolling buffer in padded STFT coordinates: starts at the current
+        # chunk's origin; chunk 0's origin includes the W//2 front pad
+        self._buf = np.zeros(lead + (self._W // 2,), dt)
+        self._chunk = 0  # next chunk index to dispatch
+        self._pushed = 0  # true samples received
+        spill_shape = (S, 2, self._W - self._hop) if self._stereo else (S, self._W - self._hop)
+        self._spill = jnp.zeros(spill_shape, jnp.float32)
+        self._finished = False
+
+    # -- internals -----------------------------------------------------------
+    def _append(self, samples: np.ndarray) -> None:
+        samples = np.asarray(samples)
+        if self._stereo:
+            if samples.ndim != 2 or samples.shape[0] != 2:
+                raise ValueError(f"stereo push must be (2, n), got {samples.shape}")
+        elif samples.ndim != 1:
+            raise ValueError(f"mono push must be (n,), got {samples.shape}")
+        if self.input_dtype == "int16":
+            if samples.dtype != np.int16:
+                samples = np.clip(
+                    np.asarray(samples, np.float32) * 32768.0, -32768, 32767
+                ).astype(np.int16)
+        else:
+            samples = np.asarray(samples, np.float32)
+        self._pushed += samples.shape[-1]
+        self._buf = np.concatenate([self._buf, samples], axis=-1)
+
+    def _dispatch(self, norm: jnp.ndarray) -> np.ndarray:
+        """Run the chunk program on the buffer's first span and advance."""
+        W, hop, span = self._W, self._hop, self._span
+        dev = jnp.asarray(self._buf[..., : span + (W - hop)])
+        chunk_fn = separate_chunk_stereo if self._stereo else separate_chunk
+        out, self._spill = chunk_fn(
+            self.params,
+            dev,
+            self._spill,
+            norm,
+            self.preset,
+            self.chunk_segments,
+            self.output_dtype,
+        )
+        out = np.asarray(out)  # (S[, 2], span) in padded coordinates
+        if self._chunk == 0:  # drop the W//2 front pad from the first chunk
+            out = out[..., W // 2 :]
+        self._buf = self._buf[..., span:]
+        self._chunk += 1
+        return out
+
+    def _steady_norm(self, i: int) -> jnp.ndarray:
+        # a synthetic frame count ≥ two chunks past i puts both the head
+        # ramp and the (absent) tail ramp outside chunk i's norm slice, so
+        # the slice equals the final track's for ANY eventual length
+        Fc = self._span // self._hop
+        nf_big = (i + 2) * Fc + 2 * (self._W // self._hop) + 4
+        return inv_norm_slice(
+            self.preset, self.chunk_segments, i, i + 2, nf_big, self._norm_cache
+        )
+
+    def _empty(self) -> np.ndarray:
+        S = self.preset.model.num_sources
+        dt = np.int16 if self.output_dtype == "int16" else np.float32
+        shape = (S, 2, 0) if self._stereo else (S, 0)
+        return np.zeros(shape, dt)
+
+    # -- public API ----------------------------------------------------------
+    def push(self, samples: np.ndarray) -> np.ndarray:
+        """Feed a block; return stems finished by it ((S[, 2], n_new))."""
+        if self._finished:
+            raise RuntimeError("flush() already called; reset() to start a new track")
+        self._append(samples)
+        outs = []
+        # dispatch every chunk that future pushes can no longer affect:
+        # its audio slice is complete AND its norm is past ramp-up with at
+        # least one more chunk guaranteed to follow (so it can't be "last")
+        while self._buf.shape[-1] >= self._span + self._W:
+            outs.append(self._dispatch(self._steady_norm(self._chunk)))
+        return np.concatenate(outs, axis=-1) if outs else self._empty()
+
+    def flush(self) -> np.ndarray:
+        """End of stream: separate the remaining tail and return it."""
+        if self._finished:
+            raise RuntimeError("flush() already called")
+        self._finished = True
+        L = self._pushed
+        hop, W, span = self._hop, self._W, self._span
+        Fc = span // hop
+        nf = num_frames(L, hop)
+        nc = max(1, math.ceil(nf / Fc))
+        done = self._chunk
+        if done >= nc:  # pathological: stream ended exactly on emitted chunks
+            return self._empty()
+        # zero-pad the buffer out to the remaining chunks' framing margin
+        need = (nc - done) * span + (W - hop)
+        pad = need - self._buf.shape[-1]
+        if pad > 0:
+            z = np.zeros(self._buf.shape[:-1] + (pad,), self._buf.dtype)
+            self._buf = np.concatenate([self._buf, z], axis=-1)
+        outs = []
+        for i in range(done, nc):
+            norm = inv_norm_slice(
+                self.preset, self.chunk_segments, i, nc, nf, self._norm_cache
+            )
+            outs.append(self._dispatch(norm))
+        tail = np.concatenate(outs, axis=-1)
+        emitted = max(0, done * span - W // 2)  # true samples already returned
+        return tail[..., : L - emitted]

@@ -1,0 +1,112 @@
+"""Push-based online separation (`OnlineSeparator`).
+
+The contract: concatenating every `push()` return plus the `flush()` tail
+equals the whole-track separation of the concatenated pushes exactly (same
+chunk program + same normalization slices as ChunkedSeparator), for any
+push block sizes — including blocks far smaller and far larger than a
+chunk — with stems emitted as soon as the latency window passes.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from convsep_tpu.separate import ChunkedSeparator, OnlineSeparator, Separator
+from tests.test_chunked import _params, tiny_preset
+
+
+def _push_all(osep, audio, block_sizes, rng):
+    outs, pos = [], 0
+    L = audio.shape[-1]
+    while pos < L:
+        n = int(block_sizes[len(outs) % len(block_sizes)])
+        outs.append(osep.push(audio[..., pos : pos + n]))
+        pos += n
+    outs.append(osep.flush())
+    return np.concatenate(outs, axis=-1)
+
+
+@pytest.mark.parametrize("seconds", [0.4, 1.0, 2.37])
+@pytest.mark.parametrize("blocks", [(160,), (7, 311, 64), (100_000,)])
+def test_online_equals_whole_track(rng, seconds, blocks):
+    preset = tiny_preset()
+    params = _params(preset)
+    L = int(seconds * preset.transform.fs)
+    audio = (0.1 * rng.standard_normal(L)).astype(np.float32)
+    whole = Separator(preset, params)(audio)
+    osep = OnlineSeparator(preset, params, chunk_segments=2)
+    got = _push_all(osep, audio, blocks, rng)
+    assert got.shape == whole.shape == (4, L)
+    np.testing.assert_allclose(got, whole, atol=1e-5)
+
+
+def test_online_emits_progressively(rng):
+    """Stems come out mid-stream once the latency window passes, not all at
+    flush — the property that makes it an online mode."""
+    preset = tiny_preset()
+    params = _params(preset)
+    osep = OnlineSeparator(preset, params, chunk_segments=2)
+    lat = osep.latency_samples
+    assert lat == osep.chunk_samples + preset.transform.frame_size
+    audio = (0.1 * rng.standard_normal(4 * lat)).astype(np.float32)
+    got_early = osep.push(audio)
+    assert got_early.shape[-1] > 0  # emitted before end-of-stream
+    tail = osep.flush()
+    full = np.concatenate([got_early, tail], axis=-1)
+    whole = Separator(preset, params)(audio)
+    np.testing.assert_allclose(full, whole, atol=1e-5)
+    # deterministic latency bound: everything outside the window was emitted
+    assert got_early.shape[-1] >= audio.shape[-1] - lat
+
+
+def test_online_stereo_equals_whole_track(rng):
+    from tests.test_stereo import tiny_stereo_preset
+
+    preset = tiny_stereo_preset()
+    params = _params(preset)
+    L = int(1.3 * preset.transform.fs)
+    audio = (0.1 * rng.standard_normal((2, L))).astype(np.float32)
+    whole = ChunkedSeparator(preset, params, chunk_segments=2)(audio)  # (S, L, 2)
+    osep = OnlineSeparator(preset, params, chunk_segments=2)
+    got = _push_all(osep, audio, (257, 1024), rng)  # (S, 2, L)
+    assert got.shape == (2, 2, L)
+    np.testing.assert_allclose(got.transpose(0, 2, 1), whole, atol=1e-5)
+
+
+def test_online_pcm16_roundtrip(rng):
+    preset = tiny_preset()
+    params = _params(preset)
+    L = 6000
+    pcm = (1000 * rng.standard_normal(L)).clip(-32768, 32767).astype(np.int16)
+    ref = ChunkedSeparator(preset, params, chunk_segments=2,
+                           output_dtype="int16", input_dtype="int16")(pcm)
+    osep = OnlineSeparator(preset, params, chunk_segments=2,
+                           output_dtype="int16", input_dtype="int16")
+    got = _push_all(osep, pcm, (999,), rng)
+    assert got.dtype == np.int16 and got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_online_reset_and_errors(rng):
+    preset = tiny_preset()
+    params = _params(preset)
+    osep = OnlineSeparator(preset, params, chunk_segments=2)
+    audio = (0.1 * rng.standard_normal(3000)).astype(np.float32)
+    osep.push(audio)
+    osep.flush()
+    with pytest.raises(RuntimeError, match="flush"):
+        osep.push(audio)
+    with pytest.raises(RuntimeError, match="flush"):
+        osep.flush()
+    osep.reset()
+    whole = Separator(preset, params)(audio)
+    got = np.concatenate([osep.push(audio), osep.flush()], axis=-1)
+    np.testing.assert_allclose(got, whole, atol=1e-5)
+    # score-informed presets have no streaming conditioning source
+    score = tiny_preset(name="bach10")
+    score = dataclasses.replace(
+        score, model=dataclasses.replace(score.model, channels_in=5)
+    )
+    with pytest.raises(ValueError, match="mono/stereo"):
+        OnlineSeparator(score, None)
