@@ -17,7 +17,7 @@ def main() -> int:
     ap.add_argument("--preset", default="dsd100")
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--runs", type=int, default=5)
-    ap.add_argument("--time-budget", type=float, default=1500.0,
+    ap.add_argument("--time-budget", type=float, default=2400.0,
                     help="matrix compile budget (raise for cache-warming runs)")
     args = ap.parse_args()
 
