@@ -85,6 +85,26 @@ class ConvSepConfig:
     # loading r1-era orbax checkpoints. The checkpoint converter maps
     # reference pickles into either order (ckpt/convert_reference.py).
     expand_order: str = "wmajor"
+    # Encoder implementation. "collapsed" (default): the encoder has NO
+    # nonlinearity before the post-fc ReLU, so conv1 → conv2 → flatten →
+    # fc is composed INTO one (B, T·F·C)·(T·F·C, bottleneck) GEMM — the
+    # composition is the tied-decoder adjoint applied to the fc weight
+    # columns (the same verified band/freq decode helpers). Removes conv1,
+    # conv2, the materialized flatten relayout (dsd100 2026-08-17 trace:
+    # reshape.157, 0.79 ms/track = 14% of scan-body device time) and the
+    # separate fc GEMM: ~20× fewer encoder FLOPs, identical math and
+    # parameters. The ~50–150 GFLOP composition must be hoisted MANUALLY
+    # out of lax.map/scan bodies (XLA won't — measured wash in-body,
+    # 2026-08-17) via precompose_collapsed(); the batched/streaming entry
+    # points do. Measured on the v5e full program: dsd100 scan64 5.58 vs
+    # 6.12 ms/track (5988× vs 5463×), ikala scan48 11.41 vs 12.90
+    # (2929× vs 2592×). "conv": the reference-shaped chain — what
+    # training uses (trainable_config(); per-step batches are too small
+    # to amortize the composition). A third formulation — contracting the
+    # un-flattened conv output with dot_general ("conv4d") — measured
+    # identical to "conv" on the full program (5.97 vs 5.98 ms/track
+    # dsd100 scan64): XLA canonicalizes it back to reshape+GEMM. Not kept.
+    encoder_impl: str = "collapsed"
 
     @property
     def conv2_time_eff(self) -> int:
@@ -372,10 +392,124 @@ def _pad_to(out: jnp.ndarray, out_spatial: Sequence[int]) -> jnp.ndarray:
 def trainable_config(cfg: "ConvSepConfig") -> "ConvSepConfig":
     """Differentiable-equivalent config: the Pallas band stage has no vjp,
     so training paths swap decoder_impl="band_pallas" for the identical-
-    math (and identically-parameterized) einsum formulation."""
+    math (and identically-parameterized) einsum formulation; the collapsed
+    encoder (whose ~50–150 GFLOP weight composition only amortizes over
+    inference-sized dispatches) reverts to the conv chain."""
     if cfg.decoder_impl == "band_pallas":
-        return dataclasses.replace(cfg, decoder_impl="band")
+        cfg = dataclasses.replace(cfg, decoder_impl="band")
+    if cfg.encoder_impl == "collapsed":
+        cfg = dataclasses.replace(cfg, encoder_impl="conv")
     return cfg
+
+
+def _compose_collapsed_fc(
+    kernel: jnp.ndarray,
+    bias: jnp.ndarray,
+    k1: jnp.ndarray,
+    b1: jnp.ndarray,
+    k2: jnp.ndarray,
+    b2: jnp.ndarray,
+    cfg: ConvSepConfig,
+    dt: jnp.dtype,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(fc kernel, fc bias, conv params) → (W_eff (T·F·C, J), c (J,)).
+
+    W_eff columns are the tied-decoder adjoint (band + freq decode, the
+    ``jax.vjp``-verified helpers) of the fc kernel columns; c folds
+    conv1/conv2's biases through the chain analytically.
+    """
+    J = cfg.bottleneck
+    # unflatten rows in the (T', F', C2) row-major flatten order, then
+    # run the adjoint decode chain with bottleneck columns as the batch
+    w4 = kernel.astype(dt).reshape(cfg.enc_time, cfg.enc_freq, cfg.conv2_filters, J)
+    zcols = w4.transpose(3, 0, 1, 2)  # (J, T', F', C2)
+    d2wm = band_decode_wmajor(zcols, k2.astype(dt))  # (J, F', T, C1)
+    weff = freq_decode_wmajor(
+        d2wm, k1.astype(dt), cfg.conv1_freq_stride, cfg.feat_size
+    )  # (J, T, F, C)
+    w_eff = weff.reshape(J, -1).T  # (T·F·C, J)
+    # bias constant: conv2(conv1(0)+b1)+b2 is the per-C2 constant
+    # Σ_{h,i} k2[h,0,i,o]·b1[i] + b2[o], contracted with the kernel
+    h2c = jnp.einsum("hwio,i->o", k2.astype(dt), b1.astype(dt)) + b2.astype(dt)
+    c = bias.astype(dt) + h2c @ w4.sum(axis=(0, 1))
+    return w_eff, c
+
+
+def precompose_collapsed(variables, cfg: ConvSepConfig):
+    """Augment a variables dict with the collapsed encoder's composed
+    weight under the ``enc_cache`` collection (no-op unless
+    ``encoder_impl="collapsed"``).
+
+    XLA does NOT hoist the ~50–150 GFLOP composition out of
+    ``lax.map``/``lax.scan`` while-loop bodies (measured 2026-08-17: the
+    in-body composition cost exactly cancelled the conv chain it removed).
+    Call this OUTSIDE the loop (batched entry points do, inside their jit
+    — the composition lands in the program prologue, once per dispatch) or
+    once per separator for repeated-dispatch streaming paths.
+    """
+    if cfg.encoder_impl != "collapsed" or "enc_cache" in variables:
+        return variables
+    p = variables["params"]
+    dt = jnp.dtype(cfg.compute_dtype)
+    w_eff, c = _compose_collapsed_fc(
+        p["fc"]["kernel"],
+        p["fc"]["bias"],
+        p["conv1_kernel"],
+        p["conv1_bias"],
+        p["conv2_kernel"],
+        p["conv2_bias"],
+        cfg,
+        dt,
+    )
+    return {**variables, "enc_cache": {"fc": {"w_eff": w_eff, "bias_eff": c}}}
+
+
+class _CollapsedFc(nn.Module):
+    """The whole encoder (conv1 → conv2 → flatten → fc) as ONE GEMM.
+
+    The encoder is affine — no nonlinearity precedes the post-fc ReLU — so
+    ``fc_j(x) = ⟨x, A(W[:, j])⟩ + c_j`` where ``A`` is the adjoint of
+    ``flatten ∘ conv2 ∘ conv1``: exactly the tied-decoder chain
+    (:func:`band_decode_wmajor` + :func:`freq_decode_wmajor`, verified
+    against ``jax.vjp`` of the forward convs) applied to the fc kernel's
+    columns. The composed weight W_eff is (T·F·C, bottleneck), the input
+    flatten is a free trailing-dims reshape, and the bias constant folds
+    conv1/conv2's biases through the same chain analytically.
+
+    Declares the IDENTICAL param tree as the "conv" path's ``nn.Dense``
+    (name "fc", kernel (enc_flat, bottleneck) lecun-normal, bias zeros) —
+    checkpoints are interchangeable between encoder impls. When the caller
+    provides a precomposed ``enc_cache`` collection
+    (:func:`precompose_collapsed`), the composition is skipped entirely.
+    """
+
+    config: ConvSepConfig
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        k1: jnp.ndarray,
+        b1: jnp.ndarray,
+        k2: jnp.ndarray,
+        b2: jnp.ndarray,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (cfg.enc_flat, cfg.bottleneck),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (cfg.bottleneck,))
+        dt = self.dtype
+        if self.has_variable("enc_cache", "w_eff"):
+            w_eff = self.get_variable("enc_cache", "w_eff").astype(dt)
+            c = self.get_variable("enc_cache", "bias_eff").astype(dt)
+        else:
+            w_eff, c = _compose_collapsed_fc(kernel, bias, k1, b1, k2, b2, cfg, dt)
+        B = x.shape[0]
+        return x.astype(dt).reshape(B, -1) @ w_eff + c
 
 
 class ConvSep(nn.Module):
@@ -430,16 +564,27 @@ class ConvSep(nn.Module):
         xc, k1c, k2c = x.astype(dt), k1.astype(dt), k2.astype(dt)
         dn = ("NHWC", "HWIO", "NHWC")
         s1 = (1, cfg.conv1_freq_stride)
-        # vertical (frequency) conv — linear, bias via separate BiasLayer in
-        # the reference
-        h1 = jax.lax.conv_general_dilated(xc, k1c, s1, "VALID", dimension_numbers=dn)
-        h1b = h1 + b1.astype(dt)
-        # horizontal (time) conv — linear
-        h2 = jax.lax.conv_general_dilated(h1b, k2c, (1, 1), "VALID", dimension_numbers=dn)
-        h2b = h2 + b2.astype(dt)
-
-        flat = h2b.reshape(B, -1)  # (B, enc_flat) with (T', F', N2) row-major
-        fc = nn.Dense(cfg.bottleneck, name="fc", dtype=dt)(flat)
+        if cfg.encoder_impl == "collapsed":
+            fc = _CollapsedFc(cfg, dtype=dt, name="fc")(xc, k1c, b1, k2c, b2)
+        elif cfg.encoder_impl == "conv":
+            # vertical (frequency) conv — linear, bias via separate
+            # BiasLayer in the reference
+            h1 = jax.lax.conv_general_dilated(
+                xc, k1c, s1, "VALID", dimension_numbers=dn
+            )
+            h1b = h1 + b1.astype(dt)
+            # horizontal (time) conv — linear
+            h2 = jax.lax.conv_general_dilated(
+                h1b, k2c, (1, 1), "VALID", dimension_numbers=dn
+            )
+            h2b = h2 + b2.astype(dt)
+            flat = h2b.reshape(B, -1)  # (B, enc_flat), (T', F', N2) row-major
+            fc = nn.Dense(cfg.bottleneck, name="fc", dtype=dt)(flat)
+        else:
+            raise ValueError(
+                f"unknown encoder_impl {cfg.encoder_impl!r}; have "
+                "conv | collapsed"
+            )
         fc = nn.relu(fc)
 
         # per-source expansion, fused into one dense: (B, S*enc_flat)

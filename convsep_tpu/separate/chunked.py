@@ -268,7 +268,11 @@ class ChunkedSeparator:
         if input_dtype not in ("float32", "int16"):
             raise ValueError(f"input_dtype must be float32|int16, got {input_dtype}")
         self.preset = preset
-        self.params = params
+        # collapsed-encoder weights are composed ONCE here, not per
+        # chunk dispatch (models/convsep.py::precompose_collapsed)
+        from convsep_tpu.models.convsep import precompose_collapsed
+
+        self.params = precompose_collapsed(params, m)
         self.chunk_segments = int(chunk_segments)
         self.output_dtype = output_dtype
         self.input_dtype = input_dtype

@@ -37,6 +37,9 @@ def separate_batch(
     vmap of the fused single-track program over the batch axis — with the
     batch sharded, XLA partitions every stage across the mesh.
     """
+    from convsep_tpu.models.convsep import precompose_collapsed
+
+    params = precompose_collapsed(params, preset.model)
     return jax.vmap(
         lambda a: separate_fused(params, a, None, preset, length, apply_fn, output_dtype)
     )(tracks)
@@ -58,7 +61,14 @@ def separate_batch_scan(
     B=32 OOMs a v5e) and the loop body compiles once, so compile time stays
     at single-track cost. Prefer this on one chip; use `separate_batch`
     (vmap) when the batch axis is sharded over a mesh.
+
+    The collapsed-encoder composition is precomposed HERE, outside the
+    `lax.map` body — XLA does not hoist it out of the while loop
+    (models/convsep.py::precompose_collapsed).
     """
+    from convsep_tpu.models.convsep import precompose_collapsed
+
+    params = precompose_collapsed(params, preset.model)
     return jax.lax.map(
         lambda a: separate_fused(params, a, None, preset, length, apply_fn, output_dtype),
         tracks,
@@ -77,8 +87,10 @@ def separate_batch_scan_stereo(
     """(B, 2, length) → (B, S, 2, length) with tracks run sequentially in
     one dispatch (`lax.map`) — the stereo analog of `separate_batch_scan`:
     single-track working-set memory, loop body compiled once."""
+    from convsep_tpu.models.convsep import precompose_collapsed
     from convsep_tpu.separate.stereo import separate_fused_stereo
 
+    params = precompose_collapsed(params, preset.model)
     return jax.lax.map(
         lambda a: separate_fused_stereo(params, a, preset, length, output_dtype),
         tracks,
@@ -98,8 +110,10 @@ def separate_batch_stereo(
     vmap of the fused joint-channel program (separate/stereo.py) — with the
     batch sharded over the mesh every stage partitions, as in the mono path.
     """
+    from convsep_tpu.models.convsep import precompose_collapsed
     from convsep_tpu.separate.stereo import separate_fused_stereo
 
+    params = precompose_collapsed(params, preset.model)
     return jax.vmap(
         lambda a: separate_fused_stereo(params, a, preset, length, output_dtype)
     )(tracks)

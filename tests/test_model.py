@@ -160,6 +160,55 @@ def test_decoder_impls_agree(rng):
             np.testing.assert_allclose(a, b, atol=1e-4, err_msg=f"{impl} s={stride}")
 
 
+def test_encoder_collapsed_matches_conv(rng):
+    """encoder_impl="collapsed" (conv1∘conv2∘flatten∘fc composed into ONE
+    GEMM via the tied-decoder adjoint of the fc kernel columns) is the
+    same network as "conv": identical param tree, same-seed init produces
+    the identical fc kernel, and the forward agrees to float32 tolerance
+    (the composition reorders the adds). Exercises a strided conv1, extra
+    input channels, and non-default filter counts."""
+    import dataclasses
+
+    cfg = ConvSepConfig(
+        time_context=12, feat_size=65, channels_in=2, num_sources=3,
+        conv1_filters=6, conv1_freq=9, conv1_freq_stride=2,
+        conv2_filters=5, conv2_time=5, bottleneck=16,
+        encoder_impl="conv",
+    )
+    cc = dataclasses.replace(cfg, encoder_impl="collapsed")
+    x = jnp.asarray(np.abs(rng.standard_normal((3, 12, 65, 2))).astype(np.float32))
+    m_conv, m_col = ConvSep(cfg), ConvSep(cc)
+    params = m_conv.init(jax.random.PRNGKey(0), x)
+    p2 = m_col.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.map(lambda a: a.shape, params) == jax.tree.map(
+        lambda a: a.shape, p2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["params"]["fc"]["kernel"]),
+        np.asarray(p2["params"]["fc"]["kernel"]),
+    )
+    a = np.asarray(m_conv.apply(params, x))
+    b = np.asarray(m_col.apply(params, x))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+    # precomposed path (the batched/streaming entry points hoist the
+    # composition out of lax.map bodies): identical result, and idempotent
+    from convsep_tpu.models.convsep import precompose_collapsed, trainable_config
+
+    pre = precompose_collapsed(params, cc)
+    assert "enc_cache" in pre and precompose_collapsed(pre, cc) is pre
+    assert precompose_collapsed(params, cfg) is params  # no-op for "conv"
+    c = np.asarray(m_col.apply(pre, x))
+    np.testing.assert_allclose(b, c, atol=1e-6)
+
+    assert trainable_config(cc).encoder_impl == "conv"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="encoder_impl"):
+        ConvSep(dataclasses.replace(cfg, encoder_impl="nope")).apply(params, x)
+
+
 def test_band_decode_matches_regular(rng):
     """tied_conv_transpose_band == tied_conv_transpose_regular for the
     (kh, 1, I, O) stride-1 time-stage kernels it handles."""
@@ -221,8 +270,9 @@ def test_trainable_config_normalizes_pallas():
     from convsep_tpu.models.convsep import trainable_config
 
     cfg = ConvSepConfig(decoder_impl="band_pallas")
-    assert trainable_config(cfg).decoder_impl == "band"
-    cfg2 = ConvSepConfig(decoder_impl="conv")
+    tc = trainable_config(cfg)
+    assert tc.decoder_impl == "band" and tc.encoder_impl == "conv"
+    cfg2 = ConvSepConfig(decoder_impl="conv", encoder_impl="conv")
     assert trainable_config(cfg2) is cfg2
 
 

@@ -166,3 +166,36 @@ def test_stream_int16_input_not_requantized(setup):
     want = [o for b in f32 for o in b]
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, w, atol=2e-3)
+
+
+def test_batch_scan_collapsed_encoder_matches_conv(setup):
+    """The batched scan path with encoder_impl="collapsed" (composition
+    precomposed OUTSIDE the lax.map body by separate_batch_scan) matches
+    the conv-encoder output — validates the precompose wiring end to end,
+    plus the ChunkedSeparator construction-time precompose."""
+    import dataclasses
+
+    from convsep_tpu.separate import bucket_length
+    from convsep_tpu.separate.chunked import ChunkedSeparator
+    from convsep_tpu.separate.stream import separate_batch_scan
+
+    preset, params = setup
+    pc = dataclasses.replace(
+        preset, model=dataclasses.replace(preset.model, encoder_impl="collapsed")
+    )
+    tracks = _tracks(2)
+    Lb = bucket_length(max(len(t) for t in tracks), preset)
+    stacked = np.zeros((2, Lb), np.float32)
+    for i, t in enumerate(tracks):
+        stacked[i, : len(t)] = t
+    a = np.asarray(separate_batch_scan(params, jnp.asarray(stacked), preset, Lb))
+    b = np.asarray(separate_batch_scan(params, jnp.asarray(stacked), pc, Lb))
+    np.testing.assert_allclose(b, a, atol=1e-4)
+
+    cs = ChunkedSeparator(pc, params, chunk_segments=2)
+    assert "enc_cache" in cs.params
+    got = cs(tracks[0])
+    want = np.asarray(
+        separate_batch_scan(params, jnp.asarray(stacked), preset, Lb)
+    )[0][:, : len(tracks[0])]
+    np.testing.assert_allclose(got, want, atol=1e-4)
