@@ -508,8 +508,16 @@ class _CollapsedFc(nn.Module):
             c = self.get_variable("enc_cache", "bias_eff").astype(dt)
         else:
             w_eff, c = _compose_collapsed_fc(kernel, bias, k1, b1, k2, b2, cfg, dt)
-        B = x.shape[0]
-        return x.astype(dt).reshape(B, -1) @ w_eff + c
+        # contract the UN-flattened (B, T, F, C) input directly: the STFT
+        # chain produces the magnitude frames-minor ({0,1} layout), so a
+        # semantic (B, T·F·C) flatten forces a materialized transpose;
+        # dot_general over (T, F, C) lets layout assignment negotiate the
+        # contraction order with the producer instead
+        w4e = w_eff.reshape(cfg.time_context, cfg.feat_size, cfg.channels_in, -1)
+        y = jax.lax.dot_general(
+            x.astype(dt), w4e, (((1, 2, 3), (0, 1, 2)), ((), ()))
+        )
+        return y + c
 
 
 class ConvSep(nn.Module):
@@ -623,6 +631,16 @@ class ConvSep(nn.Module):
             )
             d1 = freq_decode_wmajor(d2wm, k1c, cfg.conv1_freq_stride, cfg.feat_size)
         elif cfg.decoder_impl == "band":
+            # NOTE (decision record 2026-08-17): the residual 0.79 ms/track
+            # fold relayout (the expansion dense emits {0,1}, the 2-D fold
+            # GEMM wants row-major — reshape.211 in the scan64 trace) does
+            # NOT disappear by contracting the band matrix off the 5-D
+            # view of `exp` with dot_general: that formulation measured
+            # 8.17 vs 5.40 ms/track dsd100 scan64 (and slowed the conv
+            # encoder equally) — XLA reassociates it into the t-major
+            # einsum layouts that lost on wide-W presets
+            # (docs/PALLAS_PROFILE.md addendum 3). The 2-D fold + paid
+            # relayout is the measured optimum.
             d2wm = (
                 band_decode_wmajor_fold(zwm, k2c)
                 if wmajor
