@@ -293,6 +293,7 @@ def freq_decode_wmajor(
     kernel: jnp.ndarray,
     stride: int,
     out_freq: int,
+    in_freq: int | None = None,
 ) -> jnp.ndarray:
     """Freq-stage decode consuming the W-MAJOR band-kernel layout.
 
@@ -302,18 +303,16 @@ def freq_decode_wmajor(
     orientation. Same phase-decomposition math with the conv taken along
     axis 1; the only materialized transposes are on the (F, T, I)-sized
     result (~24 MB for a dsd100 track), not the 100 MB fold.
+
+    `in_freq`: the TRUE W' when `y` carries trailing sublane-alignment
+    zero-padding rows (the `_FcExpandWPad` path) — the conv runs over the
+    padded axis (zero rows contribute nothing) and the output is sliced to
+    the unpadded full-conv extent.
     """
     kh, kw, I, O = kernel.shape
     if kh != 1:
         raise ValueError(f"freq decode expects a (1, kw, I, O) kernel, got {kernel.shape}")
-    ktaps = -(-kw // stride)
-    k = kernel
-    if ktaps * stride != kw:
-        k = jnp.pad(k, ((0, 0), (0, ktaps * stride - kw), (0, 0), (0, 0)))
-    # taps flipped, out channels ordered (phase, in-channel); conv runs
-    # along dim 1 (the freq' axis) with a singleton tap over dim 2 (time)
-    k = k.reshape(ktaps, stride, I, O)[::-1]
-    k = k.transpose(0, 3, 1, 2).reshape(ktaps, 1, O, stride * I)
+    k, ktaps = _freq_conv_kernel(kernel, stride)
     o = jax.lax.conv_general_dilated(
         y,
         k,
@@ -321,11 +320,36 @@ def freq_decode_wmajor(
         [(ktaps - 1, ktaps - 1), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )  # (N, W'+ktaps-1, T, stride*I)
+    return _phase_merge_tail(
+        o, stride, I, kw,
+        in_freq if in_freq is not None else y.shape[1], out_freq,
+    )
+
+
+def _freq_conv_kernel(kernel: jnp.ndarray, stride: int) -> tuple[jnp.ndarray, int]:
+    """Phase-decomposed freq-decode conv kernel: (1, kw, I, O) tied forward
+    kernel → ((ktaps, 1, O, stride·I), ktaps). Taps flipped, out channels
+    ordered (phase, in-channel); the conv runs along the freq' axis with a
+    singleton tap over time."""
+    kh, kw, I, O = kernel.shape
+    ktaps = -(-kw // stride)
+    k = kernel
+    if ktaps * stride != kw:
+        k = jnp.pad(k, ((0, 0), (0, ktaps * stride - kw), (0, 0), (0, 0)))
+    k = k.reshape(ktaps, stride, I, O)[::-1]
+    return k.transpose(0, 3, 1, 2).reshape(ktaps, 1, O, stride * I), ktaps
+
+
+def _phase_merge_tail(
+    o: jnp.ndarray, stride: int, I: int, kw: int, in_freq: int, out_freq: int
+) -> jnp.ndarray:
+    """(N, Wo, T, stride·I) full-conv output → (N, T, F, I): merge the
+    stride phases into freq bins, slice the valid full-conv extent
+    ((in_freq-1)·stride + kw), zero-pad to `out_freq`, reorient."""
     N, Wo, T, _ = o.shape
-    # phase merge: (Wo, stride) → freq bins, then reorient to (N, T, F, I)
     o = o.reshape(N, Wo, T, stride, I).transpose(0, 1, 3, 2, 4)
     o = o.reshape(N, Wo * stride, T, I)
-    w_full = (y.shape[1] - 1) * stride + kw
+    w_full = (in_freq - 1) * stride + kw
     o = o[:, :w_full]
     if out_freq < o.shape[1]:
         raise ValueError(f"decode output {o.shape} exceeds target freq {out_freq}")
@@ -377,6 +401,46 @@ def band_decode_wmajor_fold(z: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     bm = _band_matrix_for(kernel, Tp)
     T = Tp + kernel.shape[0] - 1
     return (z.reshape(N * W, Tp * O) @ bm).reshape(N, W, T, kernel.shape[2])
+
+
+def band_decode_wmajor_rows(zf: jnp.ndarray, kernel: jnp.ndarray, Tp: int) -> jnp.ndarray:
+    """Band GEMM on a pre-folded (rows, Tp·O) LHS → (rows, T·I).
+
+    The `_FcExpandWPad` path: rows = B·S·W_pad where the (B, S, W_pad)
+    merge is a pure bitcast (W_pad is sublane-aligned and Tp·O is the
+    unchanged minor dim), so the fold relayout the plain Dense path pays
+    (reshape.202 in the scan64 trace, 0.79 ms/track) never materializes.
+    """
+    return zf @ _band_matrix_for(kernel, Tp)
+
+
+def band_freq_conv_kernel(
+    k2: jnp.ndarray, k1: jnp.ndarray, Tp: int, stride: int
+) -> tuple[jnp.ndarray, int, int, int]:
+    """Compose time-stage band decode and freq-stage decode into ONE conv
+    kernel: ((ktaps, 1, Tp·O, T·(stride·C)), ktaps, T, stride·C).
+
+    Both decode stages are linear, so their composition is a single conv
+    along W' with in-channels Tp·O (the whole per-(n,w) fold column) and
+    out-channels T·stride·C:
+
+        out[n, wo, (t, m)] = Σ_{τ, p, o} z[n, wo−pad+τ, (p,o)] · KC[τ, (p,o), (t,m)]
+        KC[τ, c, (t, m)]   = Σ_i bm[c, (t,i)] · kc[τ, i, m]
+
+    with bm the banded tap matrix (`_band_matrix_for`) and kc the
+    phase-decomposed freq kernel (`_freq_conv_kernel`). Removes the
+    (N·W, T·I) intermediate (≈226 MB/track on dsd100) between the band
+    GEMM and the freq conv. The composition is ~65 MFLOP — loop-invariant,
+    hoisted out of scan bodies by XLA (unlike the collapsed-encoder
+    composition, it is cheap enough to leave in-body too).
+    """
+    kh2, kw2, I2, O2 = k2.shape
+    T = Tp + kh2 - 1
+    bm3 = _band_matrix_for(k2, Tp).reshape(Tp * O2, T, I2)  # (c, t, i)
+    kc, ktaps = _freq_conv_kernel(k1, stride)  # (ktaps, 1, I2, stride·C)
+    M = kc.shape[3]
+    KC = jnp.einsum("cti,uim->uctm", bm3, kc[:, 0])
+    return KC.reshape(ktaps, 1, Tp * O2, T * M), ktaps, T, M
 
 
 def _pad_to(out: jnp.ndarray, out_spatial: Sequence[int]) -> jnp.ndarray:
@@ -462,6 +526,49 @@ def precompose_collapsed(variables, cfg: ConvSepConfig):
         dt,
     )
     return {**variables, "enc_cache": {"fc": {"w_eff": w_eff, "bias_eff": c}}}
+
+
+class _FcExpandWPad(nn.Module):
+    """Per-source expansion dense emitting a 4-D (B, S, W_pad, Tp·C2) fold.
+
+    Declares the IDENTICAL param tree as the plain ``nn.Dense`` expansion
+    (kernel (bottleneck, S·enc_flat) in w-major column order, bias) — the
+    padding is applied to a trace-time VIEW of the kernel, never stored.
+    W' is zero-padded up to a multiple of 8 (the float32 sublane tile) so
+    the downstream ``(B, S, W_pad, Tp·C2) → (B·S·W_pad, Tp·C2)`` fold
+    merges only major axes on tile boundaries with the minor dim unchanged
+    — a free bitcast instead of the materialized relayout XLA emits for
+    the 2-D dense + fold (reshape.202, 0.79 ms/track in the dsd100 scan64
+    trace; the vmap-batch variant paid ~2.5 ms/track in a relayout while
+    loop). Padded columns are exact zeros (zero weight columns, zero
+    bias), so band-GEMM rows and freq-conv taps over them are zeros and
+    the sliced output is bitwise unaffected.
+    """
+
+    config: ConvSepConfig
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, fc: jnp.ndarray) -> tuple[jnp.ndarray, int]:
+        cfg = self.config
+        S, J = cfg.num_sources, cfg.bottleneck
+        W, TpC = cfg.enc_freq, cfg.enc_time * cfg.conv2_filters
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (J, S * cfg.enc_flat)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (S * cfg.enc_flat,))
+        W_pad = -(-W // 8) * 8
+        dt = self.dtype
+        k4 = kernel.astype(dt).reshape(J, S, W, TpC)
+        b3 = bias.astype(dt).reshape(S, W, TpC)
+        if W_pad != W:
+            pad = ((0, 0), (0, 0), (0, W_pad - W), (0, 0))
+            k4 = jnp.pad(k4, pad)
+            b3 = jnp.pad(b3, pad[1:])
+        out = jax.lax.dot_general(
+            fc.astype(dt), k4, (((1,), (0,)), ((), ()))
+        )  # (B, S, W_pad, Tp·C2)
+        return out + b3, W_pad
 
 
 class _CollapsedFc(nn.Module):
@@ -597,12 +704,46 @@ class ConvSep(nn.Module):
 
         # per-source expansion, fused into one dense: (B, S*enc_flat)
         S = cfg.num_sources
+        wmajor = cfg.expand_order == "wmajor"
+        if wmajor and cfg.decoder_impl in ("band", "bandconv"):
+            # 4-D expansion (B, S, W_pad, Tp·C2): the band fold below is a
+            # free bitcast (see _FcExpandWPad), bypassing the 2-D dense
+            exp4, W_pad = _FcExpandWPad(cfg, dtype=dt, name="fc_expand")(fc)
+            exp4 = nn.relu(exp4)
+            TpC = cfg.enc_time * cfg.conv2_filters
+            if cfg.decoder_impl == "bandconv":
+                # both decode stages as ONE conv along W' — the (N·W, T·I)
+                # intermediate never materializes (band_freq_conv_kernel)
+                KC, ktaps, T, M = band_freq_conv_kernel(
+                    k2c, k1c, cfg.enc_time, cfg.conv1_freq_stride
+                )
+                o = jax.lax.conv_general_dilated(
+                    exp4.reshape(B * S, W_pad, 1, TpC),
+                    KC,
+                    (1, 1),
+                    [(ktaps - 1, ktaps - 1), (0, 0)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )  # (N, Wo, 1, T·M)
+                o = o.reshape(B * S, W_pad + ktaps - 1, T, M)
+                d1 = _phase_merge_tail(
+                    o, cfg.conv1_freq_stride, C, cfg.conv1_freq,
+                    cfg.enc_freq, cfg.feat_size,
+                )
+                return self._finish(d1, B, S, C, cfg)
+            d2f = band_decode_wmajor_rows(
+                exp4.reshape(B * S * W_pad, TpC), k2c, cfg.enc_time
+            )  # (B·S·W_pad, T·I)
+            d2wm = d2f.reshape(B * S, W_pad, cfg.time_context, cfg.conv1_filters)
+            d1 = freq_decode_wmajor(
+                d2wm, k1c, cfg.conv1_freq_stride, cfg.feat_size,
+                in_freq=cfg.enc_freq,
+            )
+            return self._finish(d1, B, S, C, cfg)
         exp = nn.Dense(S * cfg.enc_flat, name="fc_expand", dtype=dt)(fc)
         exp = nn.relu(exp)
         # fold sources into batch for the grouped transposed convs; with
         # expand_order="wmajor" the dense's columns are ordered (W', Tp, C)
         # so the w-major decode chain consumes the fold with NO transpose
-        wmajor = cfg.expand_order == "wmajor"
         if wmajor:
             zwm = exp.reshape(B * S, cfg.enc_freq, cfg.enc_time, cfg.conv2_filters)
             z = None  # t-major view built lazily for the non-band impls
@@ -631,21 +772,13 @@ class ConvSep(nn.Module):
             )
             d1 = freq_decode_wmajor(d2wm, k1c, cfg.conv1_freq_stride, cfg.feat_size)
         elif cfg.decoder_impl == "band":
-            # NOTE (decision record 2026-08-17): the residual 0.79 ms/track
-            # fold relayout (the expansion dense emits {0,1}, the 2-D fold
-            # GEMM wants row-major — reshape.211 in the scan64 trace) does
-            # NOT disappear by contracting the band matrix off the 5-D
-            # view of `exp` with dot_general: that formulation measured
-            # 8.17 vs 5.40 ms/track dsd100 scan64 (and slowed the conv
-            # encoder equally) — XLA reassociates it into the t-major
-            # einsum layouts that lost on wide-W presets
-            # (docs/PALLAS_PROFILE.md addendum 3). The 2-D fold + paid
-            # relayout is the measured optimum.
-            d2wm = (
-                band_decode_wmajor_fold(zwm, k2c)
-                if wmajor
-                else band_decode_wmajor(z, k2c)
-            )
+            # tmajor-only fallback (the wmajor band path returned above via
+            # _FcExpandWPad). NOTE (decision record 2026-08-17): the fold
+            # relayout does NOT disappear by contracting the band matrix
+            # off the 5-D view of `exp` with dot_general (measured 8.17 vs
+            # 5.40 ms/track dsd100 scan64) — the fix is the sublane-padded
+            # 4-D expansion above, not reassociation.
+            d2wm = band_decode_wmajor(z, k2c)
             d1 = freq_decode_wmajor(d2wm, k1c, cfg.conv1_freq_stride, cfg.feat_size)
         elif cfg.decoder_impl == "band_einsum":
             d2 = tied_conv_transpose_band(z, k2c)
@@ -660,11 +793,19 @@ class ConvSep(nn.Module):
             )
             d2 = decode(z, k2c, (1, 1), (cfg.time_context, cfg.enc_freq))
             d1 = decode(d2, k1c, s1, (cfg.time_context, cfg.feat_size))
+        elif cfg.decoder_impl == "bandconv":
+            raise ValueError(
+                'decoder_impl="bandconv" requires expand_order="wmajor"'
+            )
         else:
             raise ValueError(
                 f"unknown decoder_impl {cfg.decoder_impl!r}; have "
-                "band | band_pallas | band_einsum | fused | conv | conv_transpose"
+                "band | bandconv | band_pallas | band_einsum | fused | conv "
+                "| conv_transpose"
             )
+        return self._finish(d1, B, S, C, cfg)
+
+    def _finish(self, d1: jnp.ndarray, B: int, S: int, C: int, cfg) -> jnp.ndarray:
         # (B*S, T, F, C) → collapse channels → (B, S, T, F); leading-dim
         # reshape only — no materialized transpose
         out_bias = self.param("out_bias", nn.initializers.zeros, (S,))

@@ -154,7 +154,7 @@ def test_decoder_impls_agree(rng):
         m_band = ConvSep(c)
         params = m_band.init(jax.random.PRNGKey(0), x)
         a = np.asarray(m_band.apply(params, x))
-        for impl in ("band_einsum", "conv", "conv_transpose"):
+        for impl in ("bandconv", "band_einsum", "conv", "conv_transpose"):
             m = ConvSep(dataclasses.replace(c, decoder_impl=impl))
             b = np.asarray(m.apply(params, x))
             np.testing.assert_allclose(a, b, atol=1e-4, err_msg=f"{impl} s={stride}")
