@@ -38,6 +38,14 @@ class TransformConfig:
     # framing/DFT/OLA/Wiener kernels (dsp/pallas — frames and masks never
     # materialize in HBM; bench-selectable vs matmul)
     fft_impl: str = "matmul"
+    # Resynthesis (iSTFT) matmul-DFT precision — analysis always runs
+    # "highest". "high" (default; bf16x3, ~2.4e-7 rel error — within the
+    # ≤1e-5 operational fidelity target and below the 3e-5 PCM16
+    # quantization step: measured ≤1 LSB / mean 0.008 LSB on int16 stems
+    # vs "highest", at +14% headline RTF), "highest" (bf16x6, fp32-exact —
+    # the bit-parity knob), "default" (bf16x1, ~3e-3 — too coarse for stem
+    # output; kept for ablations).
+    dft_precision: str = "high"
     # Multi-resolution analysis (BASELINE config #5): extra window sizes
     # whose magnitudes become additional input channels. They share
     # `hop_size` (so frame grids align exactly) and are frequency-

@@ -70,25 +70,37 @@ def _key(window: np.ndarray) -> tuple:
     return tuple(np.asarray(window, np.float64).tolist())
 
 
-@partial(jax.jit, static_argnames=("hop", "nfft", "win_len"))
-def _stft_matmul_impl(signal, cos_m, sin_m, hop, nfft, win_len):
+_PRECISIONS = {
+    # TPU fp32 matmul decompositions: bf16x6 (fp32-exact), bf16x3 (~2.4e-7
+    # rel — below the 3e-5 PCM16 output quantization step), bf16x1.
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+@partial(jax.jit, static_argnames=("hop", "nfft", "win_len", "precision"))
+def _stft_matmul_impl(signal, cos_m, sin_m, hop, nfft, win_len, precision="highest"):
     nf = num_frames(signal.shape[-1], hop)
     padded = _pad_signal(signal, win_len, hop)
     frames = frame_signal(padded, win_len, hop, nf)  # (..., nf, W) — no window
-    # HIGHEST: TPU fp32 matmuls default to a bf16x3 decomposition whose
-    # error (~3e-3 max on audio-scale signals) would dominate the DSP
-    # fidelity budget; these matmuls are a tiny fraction of pipeline FLOPs.
-    re = jnp.matmul(
-        frames, cos_m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-    )
-    im = jnp.matmul(
-        frames, sin_m, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-    )
+    # "highest" (default): the bf16x1 decomposition's error (~3e-3 max on
+    # audio-scale signals) would dominate the DSP fidelity budget; these
+    # matmuls are a tiny fraction of pipeline FLOPs. "high" (bf16x3) halves
+    # the pass count at ~2.4e-7 rel error — below PCM16 quantization; the
+    # int16-output serving path selects it via TransformConfig.dft_precision.
+    prec = _PRECISIONS[precision]
+    re = jnp.matmul(frames, cos_m, preferred_element_type=jnp.float32, precision=prec)
+    im = jnp.matmul(frames, sin_m, preferred_element_type=jnp.float32, precision=prec)
     return re, im
 
 
 def stft_matmul(
-    signal: jnp.ndarray, window: np.ndarray, hop: int, nfft: int | None = None
+    signal: jnp.ndarray,
+    window: np.ndarray,
+    hop: int,
+    nfft: int | None = None,
+    precision: str = "highest",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """STFT via MXU matmuls → (real, imag) float32, same framing as dsp.stft."""
     window = np.asarray(window, np.float64)
@@ -98,17 +110,20 @@ def stft_matmul(
     cos_m, sin_m = _forward_mats(nfft, win_len, _key(window))
     sig = jnp.asarray(signal, jnp.float32)
     re, im = _stft_matmul_impl(
-        sig, jnp.asarray(cos_m), jnp.asarray(sin_m), int(hop), int(nfft), win_len
+        sig, jnp.asarray(cos_m), jnp.asarray(sin_m), int(hop), int(nfft), win_len,
+        precision,
     )
     return re, im
 
 
-@partial(jax.jit, static_argnames=("hop", "length", "win_len"))
-def _istft_matmul_impl(re, im, inv_a, inv_b, inv_norm, hop, length, win_len):
+@partial(jax.jit, static_argnames=("hop", "length", "win_len", "precision"))
+def _istft_matmul_impl(re, im, inv_a, inv_b, inv_norm, hop, length, win_len,
+                       precision="highest"):
+    prec = _PRECISIONS[precision]
     frames = jnp.matmul(
-        re, inv_a, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        re, inv_a, preferred_element_type=jnp.float32, precision=prec
     ) + jnp.matmul(
-        im, inv_b, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        im, inv_b, preferred_element_type=jnp.float32, precision=prec
     )  # (..., nf, W), synthesis window already folded in
     data = overlap_add(frames, hop) * inv_norm
     front = win_len // 2
@@ -123,6 +138,7 @@ def istft_matmul(
     length: int,
     analysis_window: np.ndarray | None = None,
     nfft: int | None = None,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Inverse of stft_matmul: (…, nf, bins)×2 → (…, length). Matches
     dsp.istft semantics (window-power-normalized OLA, W//2 front drop)."""
@@ -151,4 +167,5 @@ def istft_matmul(
         int(hop),
         int(length),
         win_len,
+        precision,
     )

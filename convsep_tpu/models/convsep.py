@@ -70,12 +70,15 @@ class ConvSepConfig:
     # MXU compute dtype: "float32" (parity) or "bfloat16" (speed; params stay
     # float32, activations/matmuls run bf16, output cast back to float32).
     compute_dtype: str = "float32"
-    # Tied-decoder implementation: "band" = time stage as a banded-matrix
-    # GEMM + freq stage as a regular conv (fastest measured on TPU — see
-    # tied_conv_transpose_band), "conv" = regular MXU convolutions for both
-    # stages, "conv_transpose" = lax.conv_transpose (reference-shaped vjp
-    # formulation, kept for parity tests). Identical math in all three.
-    decoder_impl: str = "band"
+    # Tied-decoder implementation: "bandconv" (default) = BOTH decode
+    # stages composed into one conv along W' (band_freq_conv_kernel — the
+    # (N·W, T·I) intermediate never materializes; dsd100 scan64 4.92→3.53
+    # ms/track device, ikala scan48 ~2× vs "band", 2026-08-17), "band" =
+    # time stage as a banded-matrix GEMM + freq stage as a regular conv,
+    # "conv" = regular MXU convolutions for both stages, "conv_transpose"
+    # = lax.conv_transpose (reference-shaped vjp formulation, kept for
+    # parity tests). Identical math in all of them.
+    decoder_impl: str = "bandconv"
     # Column order of the fc_expand weight — i.e. the layout the expansion
     # dense's output "fold" arrives in. "wmajor" (default): (W', Tp, C) so
     # the band GEMM + w-major freq decode consume it with ZERO transposes

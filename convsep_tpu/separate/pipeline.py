@@ -87,6 +87,11 @@ def separate_fused(
     win = _window(preset)
     if t.fft_impl == "matmul":
         # real-valued MXU path: no complex dtype anywhere (dsp/dft.py)
+        # analysis stays fp32-exact ("highest"): it is ~0.1 ms/track and
+        # feeds the NETWORK INPUT, where any perturbation is amplified
+        # nonlinearly (relu patterns / Wiener ratios); dft_precision
+        # governs only the linear resynthesis matmuls below, so its output
+        # error is bounded (~2.4e-7 rel at "high" — far below PCM16)
         re, im = stft_matmul(audio, win, t.hop_size, t.nfft)  # (nf, bins) ×2
         nf = re.shape[0]
         mag_raw = jnp.sqrt(re * re + im * im)
@@ -141,7 +146,8 @@ def separate_fused(
         )  # (S, nf, bins); real mask ⇒ mixture phase kept
         if t.fft_impl == "matmul":
             stems = istft_matmul(
-                mask * re[None], mask * im[None], win, t.hop_size, length, nfft=t.nfft
+                mask * re[None], mask * im[None], win, t.hop_size, length,
+                nfft=t.nfft, precision=t.dft_precision,
             )
         else:
             est_spec = mask * spec[None]  # (S, nf, bins) complex

@@ -66,6 +66,8 @@ def separate_fused_stereo(
     else:
         # matmul MXU path; the pallas kernels keep their mono grids, so the
         # stereo path routes "pallas" through the equivalent matmul DFT
+        # analysis stays fp32-exact; dft_precision governs resynthesis only
+        # (see separate/pipeline.py)
         re, im = stft_matmul(audio, win, t.hop_size, t.nfft)  # (2, nf, bins)
         mag_raw = jnp.sqrt(re * re + im * im)
     nf = mag_raw.shape[-2]
@@ -82,7 +84,8 @@ def separate_fused_stereo(
         stems = istft(mask * spec[None], win, t.hop_size, length, nfft=t.nfft)
     else:
         stems = istft_matmul(
-            mask * re[None], mask * im[None], win, t.hop_size, length, nfft=t.nfft
+            mask * re[None], mask * im[None], win, t.hop_size, length,
+            nfft=t.nfft, precision=t.dft_precision,
         )
     if output_dtype == "int16":
         return jnp.clip(stems * 32768.0, -32768.0, 32767.0).astype(jnp.int16)

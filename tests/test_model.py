@@ -137,9 +137,10 @@ def test_tied_conv_transpose_regular_matches_vjp(rng):
 
 
 def test_decoder_impls_agree(rng):
-    """All three tied-decoder implementations produce the same network:
-    band (banded-GEMM time stage, the default), conv (regular convs), and
-    conv_transpose (vjp-shaped reference formulation)."""
+    """All tied-decoder implementations produce the same network:
+    bandconv (composed band+freq single conv, the default), band
+    (banded-GEMM time stage), conv (regular convs), and conv_transpose
+    (vjp-shaped reference formulation)."""
     import dataclasses
 
     cfg = ConvSepConfig(
@@ -147,14 +148,14 @@ def test_decoder_impls_agree(rng):
         conv1_filters=6, conv1_freq=9, conv1_freq_stride=2,
         conv2_filters=5, conv2_time=5, bottleneck=16,
     )
-    assert cfg.decoder_impl == "band"
+    assert cfg.decoder_impl == "bandconv"
     for stride in (1, 2):
         c = dataclasses.replace(cfg, conv1_freq_stride=stride)
         x = jnp.asarray(np.abs(rng.standard_normal((3, 12, 65, 1))).astype(np.float32))
         m_band = ConvSep(c)
         params = m_band.init(jax.random.PRNGKey(0), x)
         a = np.asarray(m_band.apply(params, x))
-        for impl in ("bandconv", "band_einsum", "conv", "conv_transpose"):
+        for impl in ("band", "band_einsum", "conv", "conv_transpose"):
             m = ConvSep(dataclasses.replace(c, decoder_impl=impl))
             b = np.asarray(m.apply(params, x))
             np.testing.assert_allclose(a, b, atol=1e-4, err_msg=f"{impl} s={stride}")
