@@ -113,13 +113,16 @@ def separate_chunk(
         fr = jnp.fft.irfft(est_re + 1j * est_im, n=nfft, axis=-1)[..., :W]
         fr = fr * jnp.asarray(win, jnp.float32)
     else:
+        from convsep_tpu.dsp.dft import _PRECISIONS
+
         inv_a, inv_b = _inverse_mats(nfft, W, _key(win))
+        rp = _PRECISIONS[t.dft_precision]  # resynthesis-side precision knob
         fr = jnp.matmul(
             est_re, jnp.asarray(inv_a),
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32, precision=rp,
         ) + jnp.matmul(
             est_im, jnp.asarray(inv_b),
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32, precision=rp,
         )
     ola = overlap_add(fr, hop)  # (S, Fc*hop + W - hop), unnormalized
     margin = W - hop
@@ -168,9 +171,12 @@ def separate_chunk_stereo(
     mask = wiener_mask(
         y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=0
     )
+    from convsep_tpu.dsp.dft import _PRECISIONS
+
     inv_a, inv_b = _inverse_mats(nfft, W, _key(win))
-    fr = jnp.matmul(mask * re[None], jnp.asarray(inv_a), **hp) + jnp.matmul(
-        mask * im[None], jnp.asarray(inv_b), **hp
+    rp = dict(preferred_element_type=jnp.float32, precision=_PRECISIONS[t.dft_precision])
+    fr = jnp.matmul(mask * re[None], jnp.asarray(inv_a), **rp) + jnp.matmul(
+        mask * im[None], jnp.asarray(inv_b), **rp
     )  # (S, 2, Fc, W)
     ola = overlap_add(fr, hop)
     margin = W - hop

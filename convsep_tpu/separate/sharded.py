@@ -85,10 +85,15 @@ def separate_track_sharded(params, audio, preset: Preset, mesh, length: int, app
         est_re = jax.lax.with_sharding_constraint(
             est_re, NamedSharding(mesh, P(None, "data", None))
         )
+        from convsep_tpu.dsp.dft import _PRECISIONS
+
         inv_a, inv_b = _inverse_mats(t.nfft or W, W, _key(win))
-        frames = jnp.matmul(est_re, jnp.asarray(inv_a), preferred_element_type=jnp.float32)
+        rp = _PRECISIONS[t.dft_precision]  # resynthesis precision knob
+        frames = jnp.matmul(
+            est_re, jnp.asarray(inv_a), preferred_element_type=jnp.float32, precision=rp
+        )
         frames = frames + jnp.matmul(
-            est_im, jnp.asarray(inv_b), preferred_element_type=jnp.float32
+            est_im, jnp.asarray(inv_b), preferred_element_type=jnp.float32, precision=rp
         )  # (S, nf_pad, W), synthesis window folded in
         data = halo_overlap_add(frames, hop, mesh, "data")  # (S, (nf_pad-1)*hop + W)
         norm = ola_norm(win.astype(np.float32), win.astype(np.float32), hop, nf_pad)

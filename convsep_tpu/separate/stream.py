@@ -45,7 +45,7 @@ def separate_batch(
     )(tracks)
 
 
-@partial(jax.jit, static_argnames=("preset", "length", "apply_fn", "output_dtype"))
+@partial(jax.jit, static_argnames=("preset", "length", "apply_fn", "output_dtype", "group"))
 def separate_batch_scan(
     params,
     tracks: jnp.ndarray,
@@ -53,14 +53,22 @@ def separate_batch_scan(
     length: int,
     apply_fn=None,
     output_dtype: str = "float32",
+    group: int | None = None,
 ) -> jnp.ndarray:
     """(B, length) → (B, S, length) like separate_batch, but tracks run
-    SEQUENTIALLY inside one dispatch (`lax.map`).
+    in GROUPS of `group` sequentially inside one dispatch (`lax.map` of a
+    vmapped group body).
 
-    Single-track working-set memory (the vmap variant's peak scales with B —
-    B=32 OOMs a v5e) and the loop body compiles once, so compile time stays
-    at single-track cost. Prefer this on one chip; use `separate_batch`
-    (vmap) when the batch axis is sharded over a mesh.
+    Near-single-track working-set memory (the full-vmap variant's peak
+    scales with B — B=32 OOMs a v5e) and the loop body compiles once, so
+    compile time stays near single-track cost. `group` > 1 was built to
+    amortize the expansion GEMM's weight streaming over several tracks,
+    but measured SLOWER on the v5e (dsd100 scan64 bandconv: group=1
+    3.47 ms/track, group=2 3.60, group=4 3.91, 2026-08-17 — the vmapped
+    body's ×k intermediates cost more bandwidth than the re-read weights),
+    so the default stays 1; the knob is kept for topologies with slower
+    HBM-resident weight reuse. Prefer this on one chip; use
+    `separate_batch` (vmap) when the batch axis is sharded over a mesh.
 
     The collapsed-encoder composition is precomposed HERE, outside the
     `lax.map` body — XLA does not hoist it out of the while loop
@@ -69,10 +77,17 @@ def separate_batch_scan(
     from convsep_tpu.models.convsep import precompose_collapsed
 
     params = precompose_collapsed(params, preset.model)
-    return jax.lax.map(
-        lambda a: separate_fused(params, a, None, preset, length, apply_fn, output_dtype),
-        tracks,
+    B = tracks.shape[0]
+    if group is None:
+        group = 1
+    single = lambda a: separate_fused(  # noqa: E731
+        params, a, None, preset, length, apply_fn, output_dtype
     )
+    if group == 1 or B % group:
+        return jax.lax.map(single, tracks)
+    grouped = tracks.reshape(B // group, group, tracks.shape[-1])
+    out = jax.lax.map(jax.vmap(single), grouped)
+    return out.reshape(B, *out.shape[2:])
 
 
 
