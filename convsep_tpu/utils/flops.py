@@ -2,14 +2,16 @@
 weak-#3: RTF alone can't tell whether a preset is *actually fast*).
 
 Counts multiply-add FLOPs (1 MAC = 2 FLOPs) of every MXU-bound stage of
-`separate_fused` per track, per preset, for the production (`band`)
-decoder path:
+`separate_fused` per track, per preset, for the decoder path the preset's
+`decoder_impl` selects:
 
   * forward DFT matmuls (re+im, analysis window folded in — dsp/dft.py)
   * conv1 (vertical/freq) + conv2 (horizontal/time) encoder convs
   * bottleneck + expansion denses
-  * band-GEMM time decode (the dense banded matrix is computed in full —
-    that IS what the MXU executes) + phase-decomposed freq decode conv
+  * decode — `bandconv` (default): ONE composed conv along W' over the
+    sublane-padded W_pad positions (in-ch ktaps·Tp·C2, out-ch T·stride·C —
+    that IS what the MXU executes); `band`: dense band GEMM (banded matrix
+    computed in full) + phase-decomposed freq decode conv
   * inverse DFT matmuls (×S sources)
 
 Elementwise work (window multiply, magnitude, Wiener mask, OLA) is omitted:
@@ -50,7 +52,7 @@ def device_peak_tflops(device_kind: str) -> float:
 
 def model_flops_per_segment(cfg) -> dict:
     """MAC-derived FLOPs of one ConvSep forward over one (T, F, C) segment
-    with the `band` decoder (models/convsep.py)."""
+    with the decoder `cfg.decoder_impl` selects (models/convsep.py)."""
     T, F, C, S = cfg.time_context, cfg.feat_size, cfg.channels_in, cfg.num_sources
     N1, N2 = cfg.conv1_filters, cfg.conv2_filters
     Wp = cfg.enc_freq  # freq bins after the strided VALID conv
@@ -63,20 +65,23 @@ def model_flops_per_segment(cfg) -> dict:
     conv2 = 2 * Tp * Wp * N2 * (kt * N1)
     fc = 2 * cfg.enc_flat * cfg.bottleneck
     fc_expand = 2 * cfg.bottleneck * S * cfg.enc_flat
-    # band time-decode GEMM: (W', Tp*N2) @ (Tp*N2, T*N1) per source
-    band = S * 2 * Wp * (Tp * N2) * (T * N1)
-    # freq decode conv: (W'+ktaps-1, T) outputs × (stride*C) channels × (ktaps*N1) taps
-    freq = S * 2 * (Wp + ktaps - 1) * T * (stride * C) * (ktaps * N1)
-    total = conv1 + conv2 + fc + fc_expand + band + freq
-    return {
-        "conv1": conv1,
-        "conv2": conv2,
-        "fc": fc,
-        "fc_expand": fc_expand,
-        "decode_band_gemm": band,
-        "decode_freq_conv": freq,
-        "total": total,
-    }
+    out = {"conv1": conv1, "conv2": conv2, "fc": fc, "fc_expand": fc_expand}
+    if cfg.decoder_impl == "bandconv":
+        # ONE composed conv along W' (band_freq_conv_kernel): W_pad+ktaps-1
+        # output positions × (T·stride·C) channels × (ktaps·Tp·N2) taps/pos
+        W_pad = -(-Wp // 8) * 8  # _FcExpandWPad sublane alignment
+        out["decode_bandconv"] = (
+            S * 2 * (W_pad + ktaps - 1) * (ktaps * Tp * N2) * (T * stride * C)
+        )
+    else:
+        # band time-decode GEMM: (W', Tp*N2) @ (Tp*N2, T*N1) per source
+        out["decode_band_gemm"] = S * 2 * Wp * (Tp * N2) * (T * N1)
+        # freq decode conv: (W'+ktaps-1, T) outputs × (stride*C) ch × (ktaps*N1) taps
+        out["decode_freq_conv"] = (
+            S * 2 * (Wp + ktaps - 1) * T * (stride * C) * (ktaps * N1)
+        )
+    out["total"] = sum(out.values())
+    return out
 
 
 def pipeline_flops_per_track(preset: Preset, length: int) -> dict:

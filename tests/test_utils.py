@@ -93,16 +93,30 @@ def test_flop_accounting():
     p = get_preset("dsd100")
     seg = model_flops_per_segment(p.model)
     m = p.model
-    # hand-computed cross-check of the two dominant terms
+    # hand-computed cross-check of the two dominant terms (bandconv default)
     assert seg["fc_expand"] == 2 * m.bottleneck * m.num_sources * m.enc_flat
-    assert seg["decode_band_gemm"] == (
+    ktaps = -(-m.conv1_freq // m.conv1_freq_stride)
+    W_pad = -(-m.enc_freq // 8) * 8
+    assert seg["decode_bandconv"] == (
+        m.num_sources
+        * 2
+        * (W_pad + ktaps - 1)
+        * (ktaps * m.enc_time * m.conv2_filters)
+        * (m.time_context * m.conv1_freq_stride * m.channels_in)
+    )
+    assert seg["total"] == sum(v for k, v in seg.items() if k != "total")
+
+    # the band (non-composed) decoder counts its GEMM + freq conv instead
+    mb = dataclasses.replace(m, decoder_impl="band")
+    segb = model_flops_per_segment(mb)
+    assert segb["decode_band_gemm"] == (
         m.num_sources
         * 2
         * m.enc_freq
         * (m.enc_time * m.conv2_filters)
         * (m.time_context * m.conv1_filters)
     )
-    assert seg["total"] == sum(v for k, v in seg.items() if k != "total")
+    assert "decode_bandconv" not in segb
 
     fl = pipeline_flops_per_track(p, int(33.4 * 44100))
     assert fl["total"] == fl["dft_forward"] + fl["dft_inverse"] + fl["model"]
