@@ -149,6 +149,31 @@ def test_separate_batch_scan_matches_vmap(setup):
     np.testing.assert_allclose(b, a, atol=1e-5)
 
 
+def test_separate_batch_scan_grouped_matches_ungrouped(setup):
+    """group=k (k tracks vmapped per lax.map iteration) is a pure batching
+    reassociation — outputs must match group=1 exactly; a B not divisible
+    by the group falls back to the plain per-track map."""
+    from convsep_tpu.separate.stream import separate_batch_scan
+    from convsep_tpu.separate import bucket_length
+
+    preset, params = setup
+    tracks = _tracks(4)
+    Lb = bucket_length(max(len(t) for t in tracks), preset)
+    stacked = np.zeros((4, Lb), np.float32)
+    for i, t in enumerate(tracks):
+        stacked[i, : len(t)] = t
+    a = np.asarray(separate_batch_scan(params, jnp.asarray(stacked), preset, Lb))
+    b = np.asarray(
+        separate_batch_scan(params, jnp.asarray(stacked), preset, Lb, group=2)
+    )
+    np.testing.assert_allclose(b, a, atol=1e-6)
+    # indivisible group → fallback path, still correct
+    c = np.asarray(
+        separate_batch_scan(params, jnp.asarray(stacked), preset, Lb, group=3)
+    )
+    np.testing.assert_allclose(c, a, atol=1e-6)
+
+
 def test_stream_int16_input_not_requantized(setup):
     """PCM16 tracks through stream(input_dtype=int16) must match the float
     path — regression: int16 inputs were converted to float32 VALUES and
