@@ -150,13 +150,20 @@ def preset_matrix(
                 if stereo:
                     fb = lambda b: separate_batch_stereo(params, b, preset, Lb, "int16")  # noqa: E731
                 elif n_extra > 0:
-                    fb = jax.jit(  # noqa: E731
+                    # extra must be a traced ARGUMENT (in_axes=None broadcast),
+                    # not a closure: a closed-over concrete array becomes a
+                    # ~40 MB HLO literal that the remote compile server grinds
+                    # on for ~20 min and then drops (broken pipe) — measured
+                    # on bach10 vmap8, 2026-08-17
+                    fbx = jax.jit(
                         jax.vmap(
-                            lambda a: separate_fused(
-                                params, a, extra, preset, Lb, None, "int16"
-                            )
+                            lambda a, ex: separate_fused(
+                                params, a, ex, preset, Lb, None, "int16"
+                            ),
+                            in_axes=(0, None),
                         )
                     )
+                    fb = lambda b, _fbx=fbx, _ex=extra: _fbx(b, _ex)  # noqa: E731
                 else:
                     fb = lambda b: separate_batch(params, b, preset, Lb, None, "int16")  # noqa: E731
                 np.asarray(fb(stacked)[..., :8])
@@ -172,7 +179,7 @@ def preset_matrix(
                         compute_mfu(preset, Lb, per_b, jax.devices()[0].device_kind)
                     )
             except Exception as e:
-                out[name]["rtf_batched_vmap"] = f"failed: {type(e).__name__}"
+                out[name]["rtf_batched_vmap"] = f"failed: {type(e).__name__}: {str(e)[:160]}"
         # lax.map B=48 single dispatch — the HEADLINE methodology (dsd100's
         # 45xx× row is lax.map B=64), so ikala-class presets get an
         # apples-to-apples batched number (VERDICT r1 #1). Restricted to
@@ -213,7 +220,7 @@ def preset_matrix(
                         compute_mfu(preset, Lb, per_s, jax.devices()[0].device_kind)
                     )
             except Exception as e:
-                out[name]["rtf_batched_scan48"] = f"failed: {type(e).__name__}"
+                out[name]["rtf_batched_scan48"] = f"failed: {type(e).__name__}: {str(e)[:160]}"
     return out
 
 

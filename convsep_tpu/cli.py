@@ -31,6 +31,7 @@ def _cmd_compute_features(args) -> int:
         score_informed=args.score_informed,
         layout=args.layout,
         augment=args.augment,
+        score_filter=args.score_filter,
     )
     print(f"computed features for {len(tracks)} tracks -> {args.out}")
     return 0
@@ -177,16 +178,17 @@ def _cmd_separate(args) -> int:
         audio = audio.mean(axis=1)
     extra = None
     if args.score:
+        from convsep_tpu.data.features import score_channels
         from convsep_tpu.dsp.transform import TransformFFT
-        from convsep_tpu.score import parse_note_annotations, score_filtered_channels
+        from convsep_tpu.score import parse_note_annotations
 
         mag = TransformFFT(preset.transform).compute_file(np.asarray(audio))
         notes = [
             parse_note_annotations(os.path.join(args.score, f"{s}.notes.txt"))
             for s in preset.sources
         ]
-        extra = score_filtered_channels(
-            mag, notes, fs=preset.transform.fs, hop=preset.transform.hop_size
+        extra = score_channels(
+            mag, notes, preset, getattr(args, "score_filter", "comb")
         ) * preset.train.mult_factor_in
     # stems quantized to PCM16 on device — the wav precision, half the transfer
     if args.chunked and not preset.transform.multires:
@@ -487,6 +489,10 @@ def main(argv=None) -> int:
         "--augment", type=int, default=0,
         help="emit N augmented copies per track (note/audio time shifts + stretches)",
     )
+    cf.add_argument(
+        "--score-filter", default="comb", choices=["comb", "nmf"],
+        help="score channel filter: harmonic-comb gating or score-constrained NMF refinement",
+    )
     cf.set_defaults(fn=_cmd_compute_features)
 
     tr = sub.add_parser("train", help="train a separation model")
@@ -517,6 +523,10 @@ def main(argv=None) -> int:
     se.add_argument("-i", "--input", required=True)
     se.add_argument("-o", "--out", required=True)
     se.add_argument("--score", default=None, help="dir with <source>.notes.txt for score-informed runs")
+    se.add_argument(
+        "--score-filter", default="comb", choices=["comb", "nmf"],
+        help="score channel filter: harmonic-comb gating or score-constrained NMF refinement",
+    )
     se.add_argument("--stereo", action="store_true", help="separate channels independently → stereo stems (default: downmix to mono)")
     se.add_argument("--wiener-p", type=float, default=None, help="generalized Wiener exponent (default: preset, 1.0; 2.0 = classic Wiener)")
     se.add_argument("--chunked", action="store_true", help="stream the track in fixed-size chunks (overlapped transfers, track-length-independent compile)")

@@ -89,6 +89,7 @@ def _emit_track(
     notes: list | None,
     preset: Preset,
     t: TransformFFT,
+    score_filter: str = "comb",
 ) -> None:
     """Write one track's feature files (mix/stems, multires, score chans)."""
     mix_mag = t.compute_file(mix)
@@ -112,11 +113,28 @@ def _emit_track(
             save_tensor(ex[..., i], os.path.join(out_dir, f"{name}.res{size}.data"))
 
     if notes is not None:
-        chans = score_filtered_channels(
-            mix_mag, notes, fs=preset.transform.fs, hop=preset.transform.hop_size
+        chans = score_channels(
+            mix_mag, notes, preset, score_filter
         )
         for i, s in enumerate(preset.sources):
             save_tensor(chans[..., i], os.path.join(out_dir, f"{name}.score_{s}.data"))
+
+
+def score_channels(
+    mix_mag: np.ndarray, notes: list, preset: Preset, score_filter: str = "comb"
+) -> np.ndarray:
+    """Score-filtered extra input channels (n_frames, bins, S) by filter
+    kind: "comb" = harmonic-comb gating (score/masks.py), "nmf" =
+    score-constrained KL-NMF refinement (score/nmf.py, the reference
+    pipeline's source-filter excitation variant — SURVEY.md §2.1 #9 [M])."""
+    kw = dict(fs=preset.transform.fs, hop=preset.transform.hop_size)
+    if score_filter == "comb":
+        return score_filtered_channels(mix_mag, notes, **kw)
+    if score_filter == "nmf":
+        from convsep_tpu.score.nmf import score_nmf_channels
+
+        return score_nmf_channels(mix_mag, notes, **kw)
+    raise ValueError(f"unknown score_filter {score_filter!r}; have comb | nmf")
 
 
 def compute_features(
@@ -126,6 +144,7 @@ def compute_features(
     score_informed: bool = False,
     layout: str = "trackdirs",
     augment: int = 0,
+    score_filter: str = "comb",
 ) -> list[str]:
     """Compute feature files for every track; returns track names.
 
@@ -156,13 +175,13 @@ def compute_features(
                     raise FileNotFoundError(f"score-informed run missing {ann}")
                 notes.append(parse_note_annotations(ann))
 
-        _emit_track(out_dir, track, stems, mix, notes, preset, t)
+        _emit_track(out_dir, track, stems, mix, notes, preset, t, score_filter)
         done.append(track)
         for i, (kind, value) in enumerate(plan, 1):
             a_stems, a_mix, a_notes = augment_track(
                 stems, mix, notes, preset.transform.fs, kind, value
             )
             name = f"{track}.aug{i}"
-            _emit_track(out_dir, name, a_stems, a_mix, a_notes, preset, t)
+            _emit_track(out_dir, name, a_stems, a_mix, a_notes, preset, t, score_filter)
             done.append(name)
     return done

@@ -78,3 +78,100 @@ def test_score_filtered_channels(rng):
     assert chans.shape == (40, 129, 2)
     assert (chans <= mix[..., None] + 1e-6).all()
     assert chans.dtype == np.float32
+
+
+def _sine_mix_mag(freqs_a, freqs_b, fs, hop, bins, seconds, gate_a, gate_b):
+    """STFT magnitude of two harmonic sources with time gates (numpy DFT)."""
+    n = int(seconds * fs)
+    t = np.arange(n) / fs
+    a = sum(np.sin(2 * np.pi * f * t) / (i + 1) for i, f in enumerate(freqs_a))
+    b = sum(np.sin(2 * np.pi * f * t) / (i + 1) for i, f in enumerate(freqs_b))
+    ga = ((t >= gate_a[0]) & (t <= gate_a[1])).astype(np.float64)
+    gb = ((t >= gate_b[0]) & (t <= gate_b[1])).astype(np.float64)
+    mix = a * ga + b * gb
+    frame = 2 * (bins - 1)
+    n_frames = max(1, (n - frame) // hop + 1)
+    win = np.hanning(frame)
+    mags = np.stack(
+        [
+            np.abs(np.fft.rfft(mix[i * hop : i * hop + frame] * win))
+            for i in range(n_frames)
+        ]
+    )
+    return mags.astype(np.float32), (a * ga).astype(np.float32), (b * gb).astype(np.float32)
+
+
+def test_score_nmf_separates_disjoint_pitches():
+    """Two sources with different pitches, overlapping in time: the NMF
+    channels must route each fundamental's energy to the right source."""
+    from convsep_tpu.score import score_nmf_channels
+
+    fs, hop, bins = 8000, 128, 257
+    # A3 (220 Hz) vs E4 (~330 Hz): MIDI 57 and 64
+    mag, _, _ = _sine_mix_mag(
+        [220.0, 440.0, 660.0], [329.6, 659.3, 988.9],
+        fs, hop, bins, seconds=2.0, gate_a=(0.0, 2.0), gate_b=(0.0, 2.0),
+    )
+    notes_a = [Note(57.0, 0.0, 2.0)]
+    notes_b = [Note(64.0, 0.0, 2.0)]
+    chans = score_nmf_channels(mag, [notes_a, notes_b], fs=fs, hop=hop)
+    assert chans.shape == (*mag.shape, 2)
+    assert np.isfinite(chans).all() and (chans >= 0).all()
+    freq_per_bin = fs / (2.0 * (bins - 1))
+    b220 = int(round(220.0 / freq_per_bin))
+    b330 = int(round(329.6 / freq_per_bin))
+    e_a_at_220 = chans[:, b220 - 1 : b220 + 2, 0].sum()
+    e_b_at_220 = chans[:, b220 - 1 : b220 + 2, 1].sum()
+    e_a_at_330 = chans[:, b330 - 1 : b330 + 2, 0].sum()
+    e_b_at_330 = chans[:, b330 - 1 : b330 + 2, 1].sum()
+    assert e_a_at_220 > 5 * e_b_at_220
+    assert e_b_at_330 > 5 * e_a_at_330
+
+
+def test_score_nmf_gates_silence():
+    """Activations start at zero outside a source's notes and multiplicative
+    updates preserve zeros — the source's channel must be (near) silent
+    while its score is silent."""
+    from convsep_tpu.score import score_nmf_channels
+
+    fs, hop, bins = 8000, 128, 257
+    mag, _, _ = _sine_mix_mag(
+        [220.0, 440.0], [329.6, 659.3],
+        fs, hop, bins, seconds=2.0, gate_a=(0.0, 2.0), gate_b=(1.0, 2.0),
+    )
+    notes_a = [Note(57.0, 0.0, 2.0)]
+    notes_b = [Note(64.0, 1.0, 2.0)]
+    chans = score_nmf_channels(mag, [notes_a, notes_b], fs=fs, hop=hop)
+    frame_times = np.arange(mag.shape[0]) * hop / fs
+    early = frame_times < 0.8  # clear of the onset pad
+    late = frame_times > 1.2
+    e_b_early = chans[early, :, 1].sum() / early.sum()
+    e_b_late = chans[late, :, 1].sum() / late.sum()
+    assert e_b_early < 0.05 * e_b_late
+
+
+def test_score_nmf_empty_scores():
+    from convsep_tpu.score import score_nmf_channels
+
+    mag = np.abs(np.random.default_rng(0).normal(size=(20, 65))).astype(np.float32)
+    chans = score_nmf_channels(mag, [[], []], fs=8000, hop=128)
+    assert chans.shape == (20, 65, 2)
+    assert np.allclose(chans, 0.0)
+
+
+def test_score_channels_selector():
+    """features.score_channels routes comb/nmf and rejects unknowns."""
+    import pytest as _pytest
+
+    from convsep_tpu.configs import get_preset
+    from convsep_tpu.data.features import score_channels
+
+    preset = get_preset("ikala")
+    fs, hop = preset.transform.fs, preset.transform.hop_size
+    mag = np.abs(np.random.default_rng(1).normal(size=(12, 513))).astype(np.float32)
+    notes = [[Note(69.0, 0.0, 0.2)], [Note(57.0, 0.0, 0.2)]]
+    comb = score_channels(mag, notes, preset, "comb")
+    nmf = score_channels(mag, notes, preset, "nmf")
+    assert comb.shape == nmf.shape == (12, 513, 2)
+    with _pytest.raises(ValueError, match="score_filter"):
+        score_channels(mag, notes, preset, "wavelet")
