@@ -80,6 +80,32 @@ def test_sine_mixture_deterministic():
     assert stems.shape == (3, 1000)
 
 
+def test_note_mixture_score_alignment():
+    """Stems carry energy ONLY inside their notes' gates, registers are
+    per-source disjoint, and the fixture is deterministic."""
+    from convsep_tpu.data.synth import note_mixture
+
+    fs, L = 8000, 8000 * 4
+    stems, mix, notes = note_mixture(3, L, fs=fs, notes_per_source=4, seed=7)
+    stems2, mix2, notes2 = note_mixture(3, L, fs=fs, notes_per_source=4, seed=7)
+    np.testing.assert_array_equal(stems, stems2)
+    assert notes == notes2
+    np.testing.assert_allclose(mix, stems.sum(0), atol=1e-6)
+    t = np.arange(L) / fs
+    for s in range(3):
+        assert len(notes[s]) == 4
+        gate = np.zeros(L, bool)
+        for n in notes[s]:
+            gate |= (t >= n.start_sec) & (t < n.end_sec)
+        assert np.abs(stems[s][~gate]).max() == 0.0  # silence between notes
+        assert (stems[s][gate] ** 2).mean() > 1e-4  # sounding inside them
+    # registers are disjoint: source s+1 sits a fifth+ below source s
+    for s in range(2):
+        lo_s = min(n.pitch_midi for n in notes[s])
+        hi_next = max(n.pitch_midi for n in notes[s + 1])
+        assert lo_s > hi_next
+
+
 def test_segment_dataset_batches(tmp_path):
     sources = ("vocals", "accompaniment")
     synth_feature_dir(str(tmp_path), sources, num_tracks=2, seconds=1.0)

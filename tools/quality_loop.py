@@ -33,6 +33,10 @@ def main() -> int:
     ap.add_argument("--steps-per-dispatch", type=int, default=1)
     ap.add_argument("--compute-dtype", default=None, choices=(None, "float32", "bfloat16"))
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--score-filter", default="comb", choices=("comb", "nmf"),
+        help="score-informed presets only: extra-channel filter (comb|nmf)",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -71,13 +75,27 @@ def main() -> int:
     fs = preset.transform.fs
     S = preset.model.num_sources
     L = int(args.seconds * fs)
+    # score-informed presets (bach10-class): note-based fixtures + aligned
+    # annotations → score-filtered extra channels at train AND separate time
+    score_informed = (
+        preset.model.channels_in == 1 + S and not preset.transform.multires
+    )
 
     # --- dataset: train tracks + one held-out test track -------------------
     audio_dir = os.path.join(args.out, "audio")
     for i in range(args.tracks + 1):  # last one is held out
         tdir = os.path.join(audio_dir, f"track{i}")
         os.makedirs(tdir, exist_ok=True)
-        stems, mix = sine_mixture(S, L, fs=fs, seed=args.seed + i)
+        if score_informed:
+            from convsep_tpu.data.synth import note_mixture
+
+            stems, mix, notes = note_mixture(S, L, fs=fs, seed=args.seed + i)
+            for name, src_notes in zip(preset.sources, notes):
+                with open(os.path.join(tdir, f"{name}.notes.txt"), "w") as f:
+                    for n in src_notes:
+                        f.write(f"{n.start_sec} {n.end_sec} {n.pitch_midi}\n")
+        else:
+            stems, mix = sine_mixture(S, L, fs=fs, seed=args.seed + i)
         for name, stem in zip(preset.sources, stems):
             write_wav(os.path.join(tdir, f"{name}.wav"), fs, stem.astype(np.float32))
         write_wav(os.path.join(tdir, "mixture.wav"), fs, mix.astype(np.float32))
@@ -91,7 +109,10 @@ def main() -> int:
 
     # --- features + training ----------------------------------------------
     feats = os.path.join(args.out, "feats")
-    compute_features(train_dir, feats, preset)
+    compute_features(
+        train_dir, feats, preset,
+        score_informed=score_informed, score_filter=args.score_filter,
+    )
     ds = SegmentDataset(
         feats,
         preset.sources,
@@ -99,6 +120,9 @@ def main() -> int:
         overlap=preset.train.overlap,
         mult_factor_in=preset.train.mult_factor_in,
         mult_factor_out=preset.train.mult_factor_out,
+        extra_channels=(
+            tuple(f"score_{s}" for s in preset.sources) if score_informed else ()
+        ),
     )
     trainer = Trainer(preset, workdir=os.path.join(args.out, "run"))
     losses = trainer.fit(ds)
@@ -111,13 +135,28 @@ def main() -> int:
         [read_wav(os.path.join(held, f"{s}.wav"))[1] for s in preset.sources]
     )
     sep = Separator(preset, trainer.state.params)
-    ests = sep(np.asarray(mix, np.float32))[:, : refs.shape[1]]
+    extra = None
+    if score_informed:
+        from convsep_tpu.data.features import score_channels
+        from convsep_tpu.dsp.transform import TransformFFT
+        from convsep_tpu.score import parse_note_annotations
+
+        mag = TransformFFT(preset.transform).compute_file(np.asarray(mix, np.float32))
+        held_notes = [
+            parse_note_annotations(os.path.join(held, f"{s}.notes.txt"))
+            for s in preset.sources
+        ]
+        extra = score_channels(
+            mag, held_notes, preset, args.score_filter
+        ) * preset.train.mult_factor_in
+    ests = sep(np.asarray(mix, np.float32), extra=extra)[:, : refs.shape[1]]
     sdr, sir, _, _ = bss_eval_sources(refs, ests[:, : refs.shape[1]], flen=512)
     orc = oracle_stems(np.asarray(mix, np.float32)[: refs.shape[1]], refs, preset)
     osdr, _, _, _ = bss_eval_sources(refs, orc, flen=512)
 
     result = {
         "preset": args.preset,
+        "score_filter": args.score_filter if score_informed else None,
         "compute_dtype": preset.model.compute_dtype,
         "epochs": args.epochs,
         "loss_first": round(float(losses[0]), 4),
