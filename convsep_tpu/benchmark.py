@@ -29,6 +29,13 @@ def _progress(msg: str) -> None:
 
 _T0 = time.monotonic()
 
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -134,6 +141,7 @@ def preset_matrix(
         except Exception as e:  # record, don't kill the headline bench
             out[name] = f"failed: {type(e).__name__}: {e}"
             continue
+        del outs  # 16 live (S, L) outputs would squat HBM under the vmap run
         # batched single-dispatch (vmap): compiles in minutes where lax.map's
         # loop pass takes ~42 min on 4096-pt bodies; measured 902x vs 542x
         # pipelined for highres4096 (2026-08-17). Score-informed presets
@@ -149,29 +157,26 @@ def preset_matrix(
                 stacked = jnp.stack(tracks)
                 if stereo:
                     fb = lambda b: separate_batch_stereo(params, b, preset, Lb, "int16")  # noqa: E731
-                elif n_extra > 0:
-                    # extra must be a traced ARGUMENT (in_axes=None broadcast),
-                    # not a closure: a closed-over concrete array becomes a
-                    # ~40 MB HLO literal that the remote compile server grinds
-                    # on for ~20 min and then drops (broken pipe) — measured
-                    # on bach10 vmap8, 2026-08-17
-                    fbx = jax.jit(
-                        jax.vmap(
-                            lambda a, ex: separate_fused(
-                                params, a, ex, preset, Lb, None, "int16"
-                            ),
-                            in_axes=(0, None),
-                        )
-                    )
-                    fb = lambda b, _fbx=fbx, _ex=extra: _fbx(b, _ex)  # noqa: E731
                 else:
-                    fb = lambda b: separate_batch(params, b, preset, Lb, None, "int16")  # noqa: E731
+                    # extra rides through separate_batch as a traced argument
+                    # (ndim-3 broadcast): hand-rolled jit(vmap(...)) closures
+                    # embedded it as a ~40 MB HLO literal AND replicated the
+                    # collapsed-encoder composition under the vmap — the
+                    # bach10 vmap8 compile ground the remote compile server
+                    # to a broken pipe both ways (2026-08-17/18)
+                    fb = lambda b: separate_batch(  # noqa: E731
+                        params, b, preset, Lb, None, "int16", extra
+                    )
                 np.asarray(fb(stacked)[..., :8])
-                t0 = time.perf_counter()
-                reps = 2
-                for r in range(reps):
-                    np.asarray(fb(stacked + jnp.float32(r * 1e-7))[..., :8])
-                per_b = (time.perf_counter() - t0) / (batch * reps)
+                # min-of-reps: the first post-compile dispatch can still pay
+                # an executable-load / queue tail (a 10× outlier was measured
+                # on bach10 vmap8, 2026-08-18) — the min is the steady state
+                per_b = min(
+                    _timed(lambda r=r: np.asarray(
+                        fb(stacked + jnp.float32(r * 1e-7))[..., :8]
+                    ))
+                    for r in range(3)
+                ) / batch
                 out[name]["rtf_batched_vmap"] = round(audio_sec / per_b, 2)
                 if per_b < best:  # mfu tracks the best sustained time
                     best = per_b
@@ -210,9 +215,12 @@ def preset_matrix(
                         params, b, preset, Lb, None, "int16"
                     )
                 np.asarray(fsc(stacked)[..., :8])
-                t0 = time.perf_counter()
-                np.asarray(fsc(stacked + jnp.float32(1e-7))[..., :8])
-                per_s = (time.perf_counter() - t0) / Bs
+                per_s = min(
+                    _timed(lambda r=r: np.asarray(
+                        fsc(stacked + jnp.float32(r * 1e-7))[..., :8]
+                    ))
+                    for r in range(2)
+                ) / Bs
                 out[name]["rtf_batched_scan48"] = round(audio_sec / per_s, 2)
                 if per_s < best:
                     best = per_s

@@ -31,18 +31,32 @@ def separate_batch(
     length: int,
     apply_fn=None,
     output_dtype: str = "float32",
+    extra: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """(B, length) mixtures → (B, S, length) stems; one XLA program.
 
     vmap of the fused single-track program over the batch axis — with the
     batch sharded, XLA partitions every stage across the mesh.
+
+    `extra`: score-informed channels — (B, n_frames, F, C-1) per-track, or
+    (n_frames, F, C-1) broadcast to every track. MUST be passed here (a
+    traced argument, composed-encoder weights hoisted out of the vmap)
+    rather than closed over in a hand-rolled vmap: a closed-over concrete
+    array becomes a ~40 MB HLO literal AND the collapsed-encoder
+    composition replicates under the vmap — the bach10 vmap8 program
+    ground the remote compile server to a broken pipe twice that way
+    (2026-08-17/18).
     """
     from convsep_tpu.models.convsep import precompose_collapsed
 
     params = precompose_collapsed(params, preset.model)
-    return jax.vmap(
-        lambda a: separate_fused(params, a, None, preset, length, apply_fn, output_dtype)
-    )(tracks)
+    single = lambda a, ex: separate_fused(  # noqa: E731
+        params, a, ex, preset, length, apply_fn, output_dtype
+    )
+    if extra is None:
+        return jax.vmap(lambda a: single(a, None))(tracks)
+    ex_axis = None if extra.ndim == 3 else 0
+    return jax.vmap(single, in_axes=(0, ex_axis))(tracks, extra)
 
 
 @partial(jax.jit, static_argnames=("preset", "length", "apply_fn", "output_dtype", "group"))
@@ -54,6 +68,7 @@ def separate_batch_scan(
     apply_fn=None,
     output_dtype: str = "float32",
     group: int | None = None,
+    extra: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """(B, length) → (B, S, length) like separate_batch, but tracks run
     in GROUPS of `group` sequentially inside one dispatch (`lax.map` of a
@@ -80,6 +95,17 @@ def separate_batch_scan(
     B = tracks.shape[0]
     if group is None:
         group = 1
+    if extra is not None:
+        # score-informed tracks: loop body closes over the TRACED extra
+        # (shared, ndim 3) or maps over per-track channels (ndim 4);
+        # grouping is not worth a third compiled shape here (group=1 wins
+        # on the v5e anyway — see the decision record above)
+        fused = lambda a, ex: separate_fused(  # noqa: E731
+            params, a, ex, preset, length, apply_fn, output_dtype
+        )
+        if extra.ndim == 3:
+            return jax.lax.map(lambda a: fused(a, extra), tracks)
+        return jax.lax.map(lambda ae: fused(*ae), (tracks, extra))
     single = lambda a: separate_fused(  # noqa: E731
         params, a, None, preset, length, apply_fn, output_dtype
     )

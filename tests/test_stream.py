@@ -224,3 +224,51 @@ def test_batch_scan_collapsed_encoder_matches_conv(setup):
         separate_batch_scan(params, jnp.asarray(stacked), preset, Lb)
     )[0][:, : len(tracks[0])]
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_separate_batch_extra_channels_shared_and_per_track():
+    """Score-informed batched separation: separate_batch/_scan accept extra
+    channels shared across tracks (ndim 3) or per-track (ndim 4), matching
+    per-track separate_fused (the path the bach10 bench rides)."""
+    import dataclasses
+
+    from convsep_tpu.dsp import num_frames
+    from convsep_tpu.separate.pipeline import bucket_length, separate_fused
+    from convsep_tpu.separate.stream import separate_batch, separate_batch_scan
+
+    preset = tiny_preset("bach10")
+    cfg = preset.model
+    params = ConvSep(cfg).init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, cfg.time_context, cfg.feat_size, cfg.channels_in)),
+    )
+    rng = np.random.default_rng(3)
+    L = bucket_length(4000, preset)
+    B = 3
+    tracks = jnp.asarray(0.1 * rng.standard_normal((B, L)), jnp.float32)
+    nf = num_frames(L, preset.transform.hop_size)
+    ex1 = jnp.asarray(
+        np.abs(rng.standard_normal((nf, cfg.feat_size, cfg.channels_in - 1))),
+        jnp.float32,
+    )
+    exB = jnp.asarray(
+        np.abs(rng.standard_normal((B, nf, cfg.feat_size, cfg.channels_in - 1))),
+        jnp.float32,
+    )
+    want_shared = np.stack(
+        [separate_fused(params, tracks[i], ex1, preset, L) for i in range(B)]
+    )
+    want_per = np.stack(
+        [separate_fused(params, tracks[i], exB[i], preset, L) for i in range(B)]
+    )
+    for fn in (separate_batch, separate_batch_scan):
+        got_shared = fn(params, tracks, preset, L, extra=ex1)
+        got_per = fn(params, tracks, preset, L, extra=exB)
+        np.testing.assert_allclose(got_shared, want_shared, atol=1e-5)
+        np.testing.assert_allclose(got_per, want_per, atol=1e-5)
+    # the collapsed-encoder path composes OUTSIDE the vmap — same numbers
+    collapsed = dataclasses.replace(
+        preset, model=dataclasses.replace(cfg, encoder_impl="collapsed")
+    )
+    got_c = separate_batch(params, tracks, collapsed, L, extra=exB)
+    np.testing.assert_allclose(got_c, want_per, atol=1e-4)
