@@ -108,6 +108,16 @@ class ConvSepConfig:
     # identical to "conv" on the full program (5.97 vs 5.98 ms/track
     # dsd100 scan64): XLA canonicalizes it back to reshape+GEMM. Not kept.
     encoder_impl: str = "collapsed"
+    # Where _FcExpandWPad applies the W'→W_pad sublane padding. "kernel"
+    # (default, inference): pad a trace-time VIEW of the fc_expand weight,
+    # so the dense emits the padded 4-D fold directly (free bitcast, no
+    # relayout). "output": run the dense on the stored 2-D weight and pad
+    # the ACTIVATION after — identical math (padded stripes stay zero),
+    # but the weight gradient becomes a clean dot_general transpose
+    # instead of the pad-fused convolution XLA emits for the kernel-pad
+    # backward (EmitInputBatchInLanes, 4.7 ms of a 14.9 ms dsd100 B=32
+    # train step — 2026-08-18 trace). trainable_config() selects it.
+    expand_pad: str = "kernel"
 
     @property
     def conv2_time_eff(self) -> int:
@@ -466,6 +476,10 @@ def trainable_config(cfg: "ConvSepConfig") -> "ConvSepConfig":
         cfg = dataclasses.replace(cfg, decoder_impl="band")
     if cfg.encoder_impl == "collapsed":
         cfg = dataclasses.replace(cfg, encoder_impl="conv")
+    if cfg.expand_pad == "kernel":
+        # output-pad expansion: same math, GEMM weight-gradient (see
+        # ConvSepConfig.expand_pad)
+        cfg = dataclasses.replace(cfg, expand_pad="output")
     return cfg
 
 
@@ -562,6 +576,21 @@ class _FcExpandWPad(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (S * cfg.enc_flat,))
         W_pad = -(-W // 8) * 8
         dt = self.dtype
+        if cfg.expand_pad == "output":
+            # training path: clean 2-D GEMM (dW is a dot transpose, not the
+            # pad-fused conv the kernel-pad backward triggers). No sublane
+            # padding at all: the fold is a materialized reshape here
+            # anyway, and the decode tail's valid-extent slice
+            # ((W'-1)·stride + kw) fits the unpadded full conv exactly
+            # (_phase_merge_tail) — both band decoders accept any W_pad.
+            out = jax.lax.dot_general(
+                fc.astype(dt), kernel.astype(dt), (((1,), (0,)), ((), ()))
+            ) + bias.astype(dt)
+            return out.reshape(out.shape[0], S, W, TpC), W
+        if cfg.expand_pad != "kernel":
+            raise ValueError(
+                f"unknown expand_pad {cfg.expand_pad!r}; have kernel | output"
+            )
         k4 = kernel.astype(dt).reshape(J, S, W, TpC)
         b3 = bias.astype(dt).reshape(S, W, TpC)
         if W_pad != W:

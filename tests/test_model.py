@@ -273,7 +273,8 @@ def test_trainable_config_normalizes_pallas():
     cfg = ConvSepConfig(decoder_impl="band_pallas")
     tc = trainable_config(cfg)
     assert tc.decoder_impl == "band" and tc.encoder_impl == "conv"
-    cfg2 = ConvSepConfig(decoder_impl="conv", encoder_impl="conv")
+    assert tc.expand_pad == "output"
+    cfg2 = ConvSepConfig(decoder_impl="conv", encoder_impl="conv", expand_pad="output")
     assert trainable_config(cfg2) is cfg2
 
 
@@ -326,3 +327,41 @@ def test_band_decode_wmajor_matches_band(rng):
         ref = np.asarray(tied_conv_transpose_band(y, k))  # (n, H, w, i)
         got = np.asarray(band_decode_wmajor(y, k))  # (n, w, H, i)
         np.testing.assert_allclose(got.transpose(0, 2, 1, 3), ref, atol=2e-5)
+
+
+def test_expand_pad_output_matches_kernel(rng):
+    """expand_pad="output" (training: GEMM weight-gradient, no sublane
+    pad) is numerically identical to the inference "kernel" pad mode in
+    forward AND parameter gradients, for strided and stride-1 presets."""
+    import dataclasses
+
+    for stride in (3, 1):
+        cfg = ConvSepConfig(
+            time_context=10, feat_size=33, channels_in=1, num_sources=2,
+            conv1_filters=4, conv1_freq=7, conv1_freq_stride=stride,
+            conv2_filters=4, conv2_time=5, bottleneck=8,
+            decoder_impl="bandconv", expand_pad="kernel",
+        )
+        cfg_o = dataclasses.replace(cfg, expand_pad="output")
+        x = jnp.asarray(np.abs(rng.standard_normal((3, 10, 33, 1))).astype(np.float32))
+        params = ConvSep(cfg).init(jax.random.PRNGKey(2), x)
+        a = np.asarray(ConvSep(cfg).apply(params, x, method=ConvSep.sources))
+        b = np.asarray(ConvSep(cfg_o).apply(params, x, method=ConvSep.sources))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+        def loss(c):
+            return lambda p: jnp.sum(ConvSep(c).apply(p, x, method=ConvSep.sources) ** 2)
+
+        ga = jax.grad(loss(cfg))(params)
+        gb = jax.grad(loss(cfg_o))(params)
+        for la, lb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-4, rtol=1e-5)
+
+
+def test_trainable_config_selects_output_pad():
+    from convsep_tpu.configs import get_preset
+    from convsep_tpu.models.convsep import trainable_config
+
+    cfg = trainable_config(get_preset("dsd100").model)
+    assert cfg.expand_pad == "output"
+    assert cfg.encoder_impl == "conv"
