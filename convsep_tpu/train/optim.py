@@ -46,6 +46,12 @@ def lasagne_adadelta(
             state.delta_accu,
             accu,
         )
+        # materialize `updates` once: without the barrier XLA rematerializes
+        # it inside the param-apply fusion, which keeps delta_accu live past
+        # the delta_accu' write and forces a full aliasing copy of the
+        # biggest leaf (identity math; dsd100 B=32 step 10.44 → 9.27 ms on
+        # the v5e, 2026-08-18)
+        updates = jax.lax.optimization_barrier(updates)
         delta_accu = jax.tree.map(
             lambda d, u: rho * d + (1 - rho) * u * u, state.delta_accu, updates
         )
