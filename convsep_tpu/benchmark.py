@@ -436,6 +436,49 @@ def run_benchmark(
         rtf_bf16 = f"failed: {type(e).__name__}"
         rtf_f32_vmap8 = None
 
+    # training throughput (SURVEY.md §3.5): the donated-buffer jitted train
+    # step at the reference-parity batch (32 segments) and at a production
+    # throughput batch (256) — audio-seconds of training data consumed per
+    # wall-second. Recorded every round so train-step regressions are as
+    # visible as separation ones.
+    train_detail: dict[str, object] = {}
+    if matrix and time.monotonic() - _T0 <= time_budget_s:
+        _progress("train: step throughput (B=32, B=256)")
+        try:
+            from convsep_tpu.train.loop import create_train_state, make_train_step
+
+            state, opt = create_train_state(preset, seed)
+            train_step = make_train_step(preset, opt)
+            rng_np = np.random.default_rng(seed)
+            seg_sec = (
+                preset.train.time_context * preset.transform.hop_size / fs
+            )
+            for Bt in (32, 256):
+                x = jnp.asarray(
+                    rng_np.normal(
+                        size=(Bt, cfg.time_context, cfg.feat_size, cfg.channels_in)
+                    ).astype(np.float32)
+                )
+                yt = jnp.asarray(
+                    rng_np.normal(
+                        size=(Bt, cfg.num_sources, cfg.time_context, cfg.feat_size)
+                    ).astype(np.float32)
+                )
+                state, m = train_step(state, x, yt)
+                _ = float(m["loss"])  # compile + warm
+                reps = 20
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    state, m = train_step(state, x, yt)
+                _ = float(m["loss"])
+                dt_step = (time.perf_counter() - t0) / reps
+                train_detail[f"b{Bt}"] = {
+                    "ms_per_step": round(dt_step * 1e3, 2),
+                    "rtf_train": round(Bt * seg_sec / dt_step, 1),
+                }
+        except Exception as e:
+            train_detail["error"] = f"{type(e).__name__}: {str(e)[:160]}"
+
     # full preset matrix (VERDICT r1 #9) — every preset's batched RTF is in
     # the driver-recorded BENCH, not just the headline preset's
     presets_detail = (
@@ -490,6 +533,7 @@ def run_benchmark(
             ),
             "stem_fetch_median_s": float(np.median(t_fetch)),
             "stems_dtype": "int16 (PCM16, quantized on device)",
+            "train": train_detail,
             "presets": presets_detail,
             "compile_plus_first_run_s": round(compile_s, 2),
             "device": str(jax.devices()[0]),
