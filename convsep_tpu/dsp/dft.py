@@ -79,6 +79,146 @@ _PRECISIONS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Cooley–Tukey factored matmul-DFT
+#
+# For N = N1·N2 the direct (frames @ (N, bins)) DFT costs O(N²) MACs/frame;
+# the two-pass factorization costs O(N·(N1+N2)) — 32× fewer FLOPs at
+# N=4096=64² — while every pass is still a plain MXU matmul with K=N1|N2.
+# Measured on the v5e: the direct 4096-pt resynthesis matmuls run at ~85%
+# of bf16 peak (fusion.11 + convolution_add, 3.46 ms/track highres4096 —
+# 2026-08-18 trace), i.e. they are MXU-saturated and only a FLOP reduction
+# can speed them up. Decimation-in-time with n = N2·n1 + n2,
+# k = k1 + N1·k2:
+#
+#   X[k1 + N1·k2] = Σ_{n2} e^{-2πi n2 k1/N} (Σ_{n1} x[N2·n1+n2] E1[n1,k1])
+#                     · E2[n2,k2]
+#
+# inner DFT over n1 → twiddle → outer DFT over n2; the inverse runs the
+# mirror (hermitian-extended spectrum, +i sign, real part out).
+# ---------------------------------------------------------------------------
+
+
+def _split_factor(n: int) -> tuple[int, int] | None:
+    """Balanced factorization n = a·b with a,b ≥ 8, a as close to √n as
+    possible; None when n has no such split (tiny/prime sizes)."""
+    for a in range(int(np.sqrt(n)), 7, -1):
+        if n % a == 0 and n // a >= 8:
+            return a, n // a
+    return None
+
+
+@lru_cache(maxsize=8)
+def _ct_forward_consts(nfft: int) -> tuple:
+    """Decimation-in-frequency constants: n = n1 + N1·n2, k = N2·k1 + k2 —
+    the output (k1, k2) flattens row-major to standard bin order with NO
+    transpose. (N1, N2, inner E2 cos/sin (N2,N2) over n2, twiddle cos/sin
+    (N1,N2) [n1,k2], outer E1 cos/sin (N1,N1) [n1,k1]), float32."""
+    a, b = _split_factor(nfft)  # N1, N2
+    n1 = np.arange(a)
+    n2 = np.arange(b)
+    k1 = np.arange(a)
+    k2 = np.arange(b)
+    ang2 = 2.0 * np.pi * np.outer(n2, k2) / b
+    angt = 2.0 * np.pi * np.outer(n1, k2) / nfft
+    ang1 = 2.0 * np.pi * np.outer(n1, k1) / a
+    f32 = lambda x: x.astype(np.float32)  # noqa: E731
+    return (
+        a, b,
+        f32(np.cos(ang2)), f32(-np.sin(ang2)),
+        f32(np.cos(angt)), f32(-np.sin(angt)),
+        f32(np.cos(ang1)), f32(-np.sin(ang1)),
+    )
+
+
+def _dft_frames_factored(frames: jnp.ndarray, nfft: int, bins: int, prec):
+    """Windowed frames (..., nf, N) → (re, im) (..., nf, bins) via the
+    two-pass factored DFT (frames must already carry the analysis window)."""
+    a, b, c2, s2, tc, ts, c1, s1 = (
+        jnp.asarray(v) if isinstance(v, np.ndarray) else v
+        for v in _ct_forward_consts(nfft)
+    )
+    ein = partial(
+        jnp.einsum, preferred_element_type=jnp.float32, precision=prec
+    )
+    x = frames.reshape(*frames.shape[:-1], b, a)  # [n2, n1] (n = n1 + N1·n2)
+    # inner DFT over n2 → (..., n1, k2); x is real: two matmuls
+    yr = ein("...ba,bd->...ad", x, c2)
+    yi = ein("...ba,bd->...ad", x, s2)
+    # twiddle e^{-2πi n1 k2/N} on (n1, k2), elementwise complex
+    zr = yr * tc - yi * ts
+    zi = yr * ts + yi * tc
+    # outer DFT over n1 → (..., k1, k2); flat k = N2·k1 + k2 (row-major)
+    xr = ein("...ad,ac->...cd", zr, c1) - ein("...ad,ac->...cd", zi, s1)
+    xi = ein("...ad,ac->...cd", zr, s1) + ein("...ad,ac->...cd", zi, c1)
+    xr = xr.reshape(*xr.shape[:-2], a * b)[..., :bins]
+    xi = xi.reshape(*xi.shape[:-2], a * b)[..., :bins]
+    return xr, xi
+
+
+@lru_cache(maxsize=8)
+def _ct_inverse_consts(nfft: int) -> tuple:
+    """Inverse (+i) factored DFT over the rfft HALF-spectrum only: the
+    hermitian tail is folded in analytically (×2 weight + two rank-1
+    corrections), so no flip/concat extension of the big tensor ever
+    materializes. Bins k ∈ [0, N/2) are indexed k = k1 + N1·k2 (k1 < N1,
+    k2 < N/(2·N1)); output n = N2·m1 + m2 with N2 = N/N1.
+
+    Returns (N1, N2, K2, E2⁺ cos/sin (K2,N2) over k2, twiddle⁺ cos/sin
+    (N1,N2) [k1,m2], E1⁺ cos/sin (N1,N1) [k1,m1], alt (N2,) = (−1)^{m2})."""
+    a, b = _split_factor(nfft)  # N1, N2 = nfft // a
+    assert a * b == nfft and (nfft // 2) % a == 0
+    k2n = (nfft // 2) // a  # K2: bins-range k2 extent
+    k1 = np.arange(a)
+    k2 = np.arange(k2n)
+    m1 = np.arange(a)
+    m2 = np.arange(b)
+    # e^{+2πi m2 (N1·k2)/N} = e^{+2πi m2 k2/N2}
+    ang2 = 2.0 * np.pi * np.outer(k2, m2) / b
+    ang_t = 2.0 * np.pi * np.outer(k1, m2) / nfft
+    ang1 = 2.0 * np.pi * np.outer(k1, m1) / a
+    f32 = lambda x: x.astype(np.float32)  # noqa: E731
+    return (
+        a, b, k2n,
+        f32(np.cos(ang2)), f32(np.sin(ang2)),
+        f32(np.cos(ang_t)), f32(np.sin(ang_t)),
+        f32(np.cos(ang1)), f32(np.sin(ang1)),
+        f32(np.where(np.arange(b) % 2 == 0, 1.0, -1.0)),
+    )
+
+
+def _idft_frames_factored(re, im, nfft: int, prec):
+    """Hermitian spectrum halves (..., nf, bins) → real frames
+    (..., nf, nfft)·(1/N not applied — caller folds it with the window).
+
+    x[n] = Re Σ_{k<bins} w_k X[k] e^{+2πi nk/N} (w_0 = w_{N/2} = 1, else 2)
+    — computed as 2·(factored sum over k < N/2) − re[0] (k=0 overcount)
+    + re[N/2]·(−1)^n (the Nyquist bin, whose imag is ignored exactly like
+    the direct path / numpy irfft)."""
+    a, b, k2n, c2, s2, tc, ts, c1, s1, alt = (
+        jnp.asarray(v) if isinstance(v, np.ndarray) else v
+        for v in _ct_inverse_consts(nfft)
+    )
+    half = nfft // 2
+    # k = k1 + N1·k2 ⇒ row-major reshape (K2, N1) = [k2, k1]
+    xr = re[..., :half].reshape(*re.shape[:-1], k2n, a)
+    xi = im[..., :half].reshape(*im.shape[:-1], k2n, a)
+    ein = partial(
+        jnp.einsum, preferred_element_type=jnp.float32, precision=prec
+    )
+    # inner inverse DFT over k2 → (..., k1, m2)
+    ar = ein("...bc,bm->...cm", xr, c2) - ein("...bc,bm->...cm", xi, s2)
+    ai = ein("...bc,bm->...cm", xr, s2) + ein("...bc,bm->...cm", xi, c2)
+    # twiddle e^{+2πi m2 k1/N} on (..., k1, m2)
+    br = ar * tc - ai * ts
+    bi = ar * ts + ai * tc
+    # outer over k1, REAL part only → (..., m1, m2); n = N2·m1 + m2
+    x = ein("...cm,cl->...lm", br, c1) - ein("...cm,cl->...lm", bi, s1)
+    # hermitian fold (×2) and the two rank-1 corrections, fused elementwise
+    x = 2.0 * x - re[..., 0, None, None] + re[..., half, None, None] * alt
+    return x.reshape(*x.shape[:-2], a * b)
+
+
 @partial(jax.jit, static_argnames=("hop", "nfft", "win_len", "precision"))
 def _stft_matmul_impl(signal, cos_m, sin_m, hop, nfft, win_len, precision="highest"):
     nf = num_frames(signal.shape[-1], hop)
@@ -95,20 +235,64 @@ def _stft_matmul_impl(signal, cos_m, sin_m, hop, nfft, win_len, precision="highe
     return re, im
 
 
+@partial(jax.jit, static_argnames=("hop", "nfft", "win_len", "precision"))
+def _stft_matmul_ct_impl(signal, window, hop, nfft, win_len, precision="highest"):
+    nf = num_frames(signal.shape[-1], hop)
+    padded = _pad_signal(signal, win_len, hop)
+    frames = frame_signal(padded, win_len, hop, nf) * window  # (..., nf, W)
+    if win_len < nfft:
+        frames = jnp.pad(frames, (*(((0, 0),) * (frames.ndim - 1)), (0, nfft - win_len)))
+    return _dft_frames_factored(frames, nfft, nfft // 2 + 1, _PRECISIONS[precision])
+
+
+def _ct_supported(nfft: int) -> bool:
+    f = _split_factor(nfft)
+    return f is not None and nfft % 2 == 0 and (nfft // 2) % f[0] == 0
+
+
+def _use_factored(algorithm: str, nfft: int) -> bool:
+    if algorithm == "factored":
+        if not _ct_supported(nfft):
+            raise ValueError(f"nfft={nfft} has no balanced even factorization")
+        return True
+    if algorithm == "direct":
+        return False
+    if algorithm != "auto":
+        raise ValueError(f"unknown DFT algorithm {algorithm!r}; have auto | direct | factored")
+    # measured crossover on the v5e (2026-08-18, batched fused programs):
+    # 4096-pt highres4096 vmap8 15.00 → 13.31 ms/track with factored (+13%),
+    # but 1024-pt dsd100 scan64 REGRESSES 9708× → 8680× (the ~0.6 ms/track
+    # direct DFT is already cheap and the factored passes pay vmap-layout
+    # copies), so auto only engages at 2048+ points.
+    return nfft >= 2048 and _ct_supported(nfft)
+
+
 def stft_matmul(
     signal: jnp.ndarray,
     window: np.ndarray,
     hop: int,
     nfft: int | None = None,
     precision: str = "highest",
+    algorithm: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """STFT via MXU matmuls → (real, imag) float32, same framing as dsp.stft."""
+    """STFT via MXU matmuls → (real, imag) float32, same framing as dsp.stft.
+
+    `algorithm`: "direct" = one (W, bins) matmul per half; "factored" = the
+    two-pass Cooley–Tukey form (O(N·(N1+N2)) MACs, ~32× fewer at 4096);
+    "auto" (default) = factored for nfft ≥ 2048 (the measured v5e
+    crossover; identical math, ≤6e-7 rel vs direct at "highest").
+    """
     window = np.asarray(window, np.float64)
     win_len = len(window)
     if nfft is None:
         nfft = win_len
-    cos_m, sin_m = _forward_mats(nfft, win_len, _key(window))
     sig = jnp.asarray(signal, jnp.float32)
+    if _use_factored(algorithm, int(nfft)):
+        return _stft_matmul_ct_impl(
+            sig, jnp.asarray(window, jnp.float32), int(hop), int(nfft), win_len,
+            precision,
+        )
+    cos_m, sin_m = _forward_mats(nfft, win_len, _key(window))
     re, im = _stft_matmul_impl(
         sig, jnp.asarray(cos_m), jnp.asarray(sin_m), int(hop), int(nfft), win_len,
         precision,
@@ -130,6 +314,16 @@ def _istft_matmul_impl(re, im, inv_a, inv_b, inv_norm, hop, length, win_len,
     return data[..., front : front + length].astype(jnp.float32)
 
 
+@partial(jax.jit, static_argnames=("hop", "length", "win_len", "nfft", "precision"))
+def _istft_matmul_ct_impl(re, im, win_over_n, inv_norm, hop, length, win_len,
+                          nfft, precision="highest"):
+    frames = _idft_frames_factored(re, im, nfft, _PRECISIONS[precision])
+    frames = frames[..., :win_len] * win_over_n  # irfft[:W] · window, 1/N folded
+    data = overlap_add(frames, hop) * inv_norm
+    front = win_len // 2
+    return data[..., front : front + length].astype(jnp.float32)
+
+
 def istft_matmul(
     re: jnp.ndarray,
     im: jnp.ndarray,
@@ -139,9 +333,11 @@ def istft_matmul(
     analysis_window: np.ndarray | None = None,
     nfft: int | None = None,
     precision: str = "highest",
+    algorithm: str = "auto",
 ) -> jnp.ndarray:
     """Inverse of stft_matmul: (…, nf, bins)×2 → (…, length). Matches
-    dsp.istft semantics (window-power-normalized OLA, W//2 front drop)."""
+    dsp.istft semantics (window-power-normalized OLA, W//2 front drop).
+    `algorithm` as in :func:`stft_matmul`."""
     window = np.asarray(window, np.float64)
     win_len = len(window)
     if analysis_window is None:
@@ -154,10 +350,22 @@ def istft_matmul(
             f"re/im have {re.shape[-2]} frames but length={length}, hop={hop} "
             f"implies {expect}"
         )
-    inv_a, inv_b = _inverse_mats(nfft, win_len, _key(window))
     inv_norm = 1.0 / ola_norm(
         window.astype(np.float32), np.asarray(analysis_window, np.float32), int(hop), expect
     )
+    if _use_factored(algorithm, int(nfft)):
+        return _istft_matmul_ct_impl(
+            re,
+            im,
+            jnp.asarray((window / float(nfft)).astype(np.float32)),
+            jnp.asarray(inv_norm),
+            int(hop),
+            int(length),
+            win_len,
+            int(nfft),
+            precision,
+        )
+    inv_a, inv_b = _inverse_mats(nfft, win_len, _key(window))
     return _istft_matmul_impl(
         re,
         im,

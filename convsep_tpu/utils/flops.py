@@ -95,11 +95,30 @@ def pipeline_flops_per_track(preset: Preset, length: int) -> dict:
     seg = model_flops_per_segment(m)
     # stereo-native presets STFT both ears and resynthesize S×2 stems
     nch = 2 if m.decoder_reduce == "all" else 1
-    dft_fwd = nch * 2 * 2 * nf * W * bins  # re + im matmuls
+    from convsep_tpu.dsp.dft import _split_factor, _use_factored
+
+    def fwd_cost(n: int) -> int:
+        """Per-frame forward-DFT FLOPs for one channel (re+im)."""
+        if _use_factored("auto", n):
+            a, b = _split_factor(n)
+            # inner 2 real matmuls (contract N2) + twiddle + outer 4 (contract N1)
+            return 4 * n * b + 6 * n + 8 * n * a
+        return 2 * 2 * n * (n // 2 + 1)
+
+    def inv_cost(n: int) -> int:
+        """Per-frame inverse-DFT FLOPs for one stem."""
+        if _use_factored("auto", n):
+            a, b = _split_factor(n)
+            k2n = (n // 2) // a
+            # inner 4 rect matmuls (contract K2) + twiddle + outer 2 real-out
+            return 8 * n * k2n + 6 * n + 4 * n * a + 4 * n
+        return 2 * 2 * n * (n // 2 + 1)
+
+    dft_fwd = nch * nf * fwd_cost(nfft)
     # multires channels: one extra forward DFT per resolution
     for r in t.multires:
-        dft_fwd += 2 * 2 * nf * r * (r // 2 + 1)
-    dft_inv = nch * m.num_sources * 2 * 2 * nf * bins * W
+        dft_fwd += nf * fwd_cost(r)
+    dft_inv = nch * m.num_sources * nf * inv_cost(nfft)
     model = nseg * seg["total"]
     total = dft_fwd + model + dft_inv
     return {

@@ -78,3 +78,36 @@ def test_frame_count_mismatch_raises(rng):
     w = sinebell(256)
     with pytest.raises(ValueError):
         istft_matmul(np.zeros((5, 129)), np.zeros((5, 129)), w, 128, 44100)
+
+
+@pytest.mark.parametrize("nfft,hop", [(256, 128), (1024, 512), (4096, 2048)])
+def test_factored_dft_matches_direct(rng, nfft, hop):
+    """Cooley–Tukey factored matmul-DFT == direct, forward and inverse,
+    including an arbitrary (non-hermitian-consistent) masked spectrum."""
+    win = sinebell(nfft)
+    sig = (0.3 * rng.standard_normal(nfft * 12)).astype(np.float32)
+    re_d, im_d = stft_matmul(sig, win, hop, algorithm="direct")
+    re_f, im_f = stft_matmul(sig, win, hop, algorithm="factored")
+    scale = float(np.abs(np.asarray(re_d)).max())
+    np.testing.assert_allclose(np.asarray(re_f) / scale, np.asarray(re_d) / scale, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(im_f) / scale, np.asarray(im_d) / scale, atol=3e-6)
+    L = len(sig)
+    x_d = np.asarray(istft_matmul(re_d, im_d, win, hop, L, algorithm="direct"))
+    x_f = np.asarray(istft_matmul(re_d, im_d, win, hop, L, algorithm="factored"))
+    np.testing.assert_allclose(x_f, x_d, atol=3e-6)
+    # masked spectra carry junk imag at DC/Nyquist — semantics must match
+    mask = (0.5 + 0.5 * rng.random(re_d.shape)).astype(np.float32)
+    x_d = np.asarray(istft_matmul(re_d * mask, im_d * mask, win, hop, L, algorithm="direct"))
+    x_f = np.asarray(istft_matmul(re_d * mask, im_d * mask, win, hop, L, algorithm="factored"))
+    np.testing.assert_allclose(x_f, x_d, atol=3e-6)
+
+
+def test_factored_auto_threshold():
+    from convsep_tpu.dsp.dft import _use_factored
+
+    assert not _use_factored("auto", 1024)  # measured v5e crossover
+    assert _use_factored("auto", 2048)
+    assert _use_factored("auto", 4096)
+    assert not _use_factored("auto", 254)  # 2·127: no balanced even split
+    with pytest.raises(ValueError):
+        _use_factored("fft", 1024)
