@@ -377,3 +377,72 @@ def test_serve_cli(audio_dir, tmp_path):
     assert sorted(os.listdir(os.path.join(out, "t"))) == [
         "accompaniment.wav", "vocals.wav",
     ]
+
+
+def _tiny_bach(monkeypatch):
+    p = presets_mod.PRESETS["bach10"]()
+    t = TransformConfig(fs=FS, frame_size=256, hop_size=128)
+    tiny = dataclasses.replace(
+        p,
+        name="tinybach",
+        transform=t,
+        model=dataclasses.replace(
+            p.model,
+            time_context=10,
+            feat_size=t.bins,
+            conv1_filters=4,
+            conv1_freq=8,
+            conv2_filters=4,
+            bottleneck=16,
+        ),
+        train=dataclasses.replace(
+            p.train, batch_size=4, num_epochs=1, time_context=10, overlap=5
+        ),
+        sep=dataclasses.replace(p.sep, segment_bucket=2),
+    )
+    monkeypatch.setitem(presets_mod.PRESETS, "tinybach", lambda: tiny)
+    return tiny
+
+
+@pytest.mark.parametrize("score_filter", ["comb", "nmf"])
+def test_score_informed_cli_journey(tmp_path, monkeypatch, score_filter):
+    """Bach10 workflow through the CLI: note-annotated dataset →
+    compute-features --score-informed → train --score-informed →
+    separate --score (SURVEY.md §3.4), for both score filters."""
+    from convsep_tpu.data.synth import note_mixture
+
+    preset = _tiny_bach(monkeypatch)
+    S = preset.model.num_sources
+    root = tmp_path / "audio"
+    for i in range(2):
+        d = root / f"piece{i}"
+        d.mkdir(parents=True)
+        stems, mix, notes = note_mixture(S, 2 * FS, fs=FS, notes_per_source=3, seed=i)
+        for name, stem, src_notes in zip(preset.sources, stems, notes):
+            write_wav(d / f"{name}.wav", FS, stem)
+            with open(d / f"{name}.notes.txt", "w") as f:
+                for n in src_notes:
+                    f.write(f"{n.start_sec} {n.end_sec} {n.pitch_midi}\n")
+        write_wav(d / "mixture.wav", FS, mix)
+
+    feats = str(tmp_path / "feats")
+    assert cli.main([
+        "compute-features", "--preset", "tinybach", "--audio-dir", str(root),
+        "--out", feats, "--score-informed", "--score-filter", score_filter,
+    ]) == 0
+    for s in preset.sources:
+        assert os.path.exists(os.path.join(feats, f"piece0.score_{s}.data"))
+
+    wd = str(tmp_path / "run")
+    assert cli.main([
+        "train", "--preset", "tinybach", "--features", feats,
+        "--workdir", wd, "--score-informed",
+    ]) == 0
+
+    est = str(tmp_path / "est")
+    assert cli.main([
+        "separate", "--preset", "tinybach", "--params", os.path.join(wd, "checkpoints"),
+        "-i", str(root / "piece0" / "mixture.wav"), "-o", est,
+        "--score", str(root / "piece0"), "--score-filter", score_filter,
+    ]) == 0
+    assert sorted(os.listdir(est)) == sorted(f"{s}.wav" for s in preset.sources)
