@@ -259,10 +259,40 @@ def _cmd_separate_batch(args) -> int:
             else:
                 yield audio.mean(axis=1) if audio.ndim == 2 else audio
 
+    extras = None
+    if getattr(args, "score_dir", None):
+        # score-informed batch: per-track channels from
+        # <score-dir>/<track>/<source>.notes.txt (same grid as the mixture)
+        from convsep_tpu.data.features import score_channels
+        from convsep_tpu.dsp.transform import TransformFFT
+
+        t = TransformFFT(preset.transform)
+
+        def extras_gen():
+            import numpy as np
+
+            from convsep_tpu.score import parse_note_annotations
+
+            for n in names:
+                fs, audio = read_wav(os.path.join(args.input_dir, n))
+                if audio.ndim == 2:
+                    audio = audio.mean(axis=1)
+                mag = t.compute_file(np.asarray(audio, np.float32))
+                sdir = os.path.join(args.score_dir, n[: -len(".wav")])
+                notes = [
+                    parse_note_annotations(os.path.join(sdir, f"{s}.notes.txt"))
+                    for s in preset.sources
+                ]
+                yield score_channels(
+                    mag, notes, preset, getattr(args, "score_filter", "comb")
+                ) * preset.train.mult_factor_in
+
+        extras = extras_gen()
+
     ss = StreamSeparator(preset, params, mesh=mesh, output_dtype="int16", input_dtype="int16")
     done = 0
     it = iter(names)
-    for batch in ss.stream(tracks(), batch_size=args.batch_size):
+    for batch in ss.stream(tracks(), batch_size=args.batch_size, extras=extras):
         for stems in batch:
             name = next(it)[: -len(".wav")]
             outdir = os.path.join(args.out, name)
@@ -544,6 +574,8 @@ def main(argv=None) -> int:
     sb.add_argument("--mesh-data", type=int, default=1)
     sb.add_argument("--unsafe-pickle", action="store_true", help="allow arbitrary (unrestricted) pickle loading; only for trusted checkpoint files")
     sb.add_argument("--decoder-impl", default=None, choices=("bandconv", "band", "band_einsum", "fused", "conv", "conv_transpose", "band_pallas"), help="tied-decoder implementation override (default: preset)")
+    sb.add_argument("--score-dir", default=None, help="score-informed runs: dir with <track>/<source>.notes.txt per input wav")
+    sb.add_argument("--score-filter", default="comb", choices=["comb", "nmf"], help="score channel filter (with --score-dir)")
     sb.set_defaults(fn=_cmd_separate_batch)
 
     sv = sub.add_parser("serve", help="watch a directory; separate wavs as they arrive")

@@ -214,48 +214,103 @@ class StreamSeparator:
 
     def _batch_fn(self):
         # vmap partitions across a sharded mesh batch axis; on one device
-        # lax.map wins (single-track memory, body compiled once)
+        # lax.map wins (single-track memory, body compiled once) — EXCEPT
+        # for 2048+-point presets, where XLA's loop pass takes ~42 min to
+        # compile the body (vs ~2 min unrolled vmap; bach10 vmap8 measured
+        # 1481× — 2026-08-18) and the per-track working set is small enough
+        # to vmap
         if self._stereo:
-            return lambda params, dev, preset, length, apply_fn, output_dtype: (
+            return lambda params, dev, preset, length, apply_fn, output_dtype, extra=None: (
                 separate_batch_stereo(params, dev, preset, length, output_dtype)
             )
-        return separate_batch if self.mesh is not None else separate_batch_scan
+        if self.mesh is not None or self.preset.transform.frame_size >= 2048:
+            return separate_batch
+        return lambda params, dev, preset, length, apply_fn, output_dtype, extra=None: (
+            separate_batch_scan(
+                params, dev, preset, length, apply_fn, output_dtype, extra=extra
+            )
+        )
 
-    def separate_many(self, tracks: Sequence[np.ndarray]) -> list[np.ndarray]:
-        """Separate a list of mono tracks → list of (S, len_i) stems."""
+    def _bucket_extras(
+        self, extras: Sequence[np.ndarray], n: int, Lb: int
+    ) -> np.ndarray:
+        """Per-track score channels → (n, nf(Lb), F, C-1), frame-padded."""
+        if self._stereo:
+            raise ValueError("score-informed extras are mono-preset only")
+        from convsep_tpu.dsp.stft import num_frames
+
+        nf = num_frames(Lb, self.preset.transform.hop_size)
+        first = np.asarray(extras[0], np.float32)
+        out = np.zeros((n, nf, *first.shape[1:]), np.float32)
+        for i, e in enumerate(extras):
+            e = np.asarray(e, np.float32)[:nf]
+            out[i, : e.shape[0]] = e
+        return out
+
+    def separate_many(
+        self,
+        tracks: Sequence[np.ndarray],
+        extras: Sequence[np.ndarray] | None = None,
+    ) -> list[np.ndarray]:
+        """Separate a list of mono tracks → list of (S, len_i) stems.
+
+        `extras`: optional per-track score-informed channels, one
+        (n_frames_i, F, C-1) array per track (same scaling as the
+        Separator path: already × mult_factor_in)."""
         stacked, lengths = self._bucket(tracks)
         sharding = (
             batch_sharding(self.mesh, stacked.ndim) if self.mesh is not None else None
         )
         dev = jax.device_put(jnp.asarray(stacked), sharding)
+        extra = None
+        if extras is not None:
+            if len(extras) != len(tracks):
+                raise ValueError(f"{len(extras)} extras for {len(tracks)} tracks")
+            ex = self._bucket_extras(extras, stacked.shape[0], stacked.shape[-1])
+            extra = jax.device_put(
+                jnp.asarray(ex),
+                batch_sharding(self.mesh, ex.ndim) if self.mesh is not None else None,
+            )
         out = self._batch_fn()(
-            self.params, dev, self.preset, stacked.shape[-1], self.apply_fn, self.output_dtype
+            self.params, dev, self.preset, stacked.shape[-1], self.apply_fn,
+            self.output_dtype, extra,
         )
         out = np.asarray(out)
         return [out[i, ..., : lengths[i]] for i in range(len(tracks))]
 
     def stream(
-        self, tracks: Iterator[np.ndarray], batch_size: int
+        self,
+        tracks: Iterator[np.ndarray],
+        batch_size: int,
+        extras: Iterator[np.ndarray] | None = None,
     ) -> Iterator[list[np.ndarray]]:
-        """Batched streaming with host→device prefetch overlap."""
+        """Batched streaming with host→device prefetch overlap.
+
+        `extras`: optional iterator of per-track score channels, parallel
+        to `tracks` (see separate_many)."""
         in_ndim = 3 if self._stereo else 2
         sharding = (
             batch_sharding(self.mesh, in_ndim) if self.mesh is not None else None
         )
+        ex_sharding = (
+            batch_sharding(self.mesh, 4) if self.mesh is not None else None
+        )
 
         def batches():
-            buf = []
-            for t in tracks:
+            buf, exbuf = [], []
+            src = zip(tracks, extras) if extras is not None else ((t, None) for t in tracks)
+            for t, e in src:
                 # keep int16 as-is: _bucket would re-quantize a float32 copy
                 # of PCM16 VALUES (×32768 → saturation); float conversion is
                 # only for float-ish inputs
                 t = np.asarray(t)
                 buf.append(t if t.dtype == np.int16 else np.asarray(t, np.float32))
+                exbuf.append(e)
                 if len(buf) == batch_size:
-                    yield self._bucket(buf)
-                    buf = []
+                    yield self._bucket(buf), exbuf
+                    buf, exbuf = [], []
             if buf:
-                yield self._bucket(buf)
+                yield self._bucket(buf), exbuf
 
         import queue
         import threading
@@ -265,8 +320,14 @@ class StreamSeparator:
 
         def producer():
             try:
-                for stacked, lengths in batches():
-                    q.put((jax.device_put(jnp.asarray(stacked), sharding), lengths))
+                for (stacked, lengths), exbuf in batches():
+                    extra = None
+                    if exbuf and exbuf[0] is not None:
+                        ex = self._bucket_extras(
+                            exbuf, stacked.shape[0], stacked.shape[-1]
+                        )
+                        extra = jax.device_put(jnp.asarray(ex), ex_sharding)
+                    q.put((jax.device_put(jnp.asarray(stacked), sharding), lengths, extra))
                 q.put(_END)
             except Exception as e:
                 q.put(e)
@@ -291,9 +352,10 @@ class StreamSeparator:
                 break
             if isinstance(item, Exception):
                 raise item
-            dev, lengths = item
+            dev, lengths, extra = item
             out_dev = self._batch_fn()(
-                self.params, dev, self.preset, dev.shape[-1], self.apply_fn, self.output_dtype
+                self.params, dev, self.preset, dev.shape[-1], self.apply_fn,
+                self.output_dtype, extra,
             )
             if pending is not None:
                 yield _fetch(*pending)

@@ -446,3 +446,40 @@ def test_score_informed_cli_journey(tmp_path, monkeypatch, score_filter):
         "--score", str(root / "piece0"), "--score-filter", score_filter,
     ]) == 0
     assert sorted(os.listdir(est)) == sorted(f"{s}.wav" for s in preset.sources)
+
+
+def test_separate_batch_score_dir(tmp_path, monkeypatch):
+    """`separate-batch --score-dir`: streamed score-informed separation."""
+    from convsep_tpu.data.synth import note_mixture
+    from convsep_tpu.train.loop import create_train_state
+    from convsep_tpu.ckpt.orbax_io import CheckpointManager
+
+    preset = _tiny_bach(monkeypatch)
+    S = preset.model.num_sources
+    wavs = tmp_path / "wavs"
+    scores = tmp_path / "scores"
+    wavs.mkdir()
+    for i in range(2):
+        stems, mix, notes = note_mixture(S, FS, fs=FS, notes_per_source=2, seed=i)
+        write_wav(wavs / f"piece{i}.wav", FS, mix)
+        sdir = scores / f"piece{i}"
+        sdir.mkdir(parents=True)
+        for name, src_notes in zip(preset.sources, notes):
+            with open(sdir / f"{name}.notes.txt", "w") as f:
+                for n in src_notes:
+                    f.write(f"{n.start_sec} {n.end_sec} {n.pitch_midi}\n")
+    state, _ = create_train_state(preset, 0)
+    ckpt = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(ckpt)
+    mgr.save(0, state)
+    mgr.wait()
+    est = str(tmp_path / "est")
+    assert cli.main([
+        "separate-batch", "--preset", "tinybach", "--params", ckpt,
+        "--input-dir", str(wavs), "-o", est, "--batch-size", "2",
+        "--score-dir", str(scores), "--score-filter", "nmf",
+    ]) == 0
+    for i in range(2):
+        assert sorted(os.listdir(os.path.join(est, f"piece{i}"))) == sorted(
+            f"{s}.wav" for s in preset.sources
+        )

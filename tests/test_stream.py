@@ -272,3 +272,34 @@ def test_separate_batch_extra_channels_shared_and_per_track():
     )
     got_c = separate_batch(params, tracks, collapsed, L, extra=exB)
     np.testing.assert_allclose(got_c, want_per, atol=1e-4)
+
+
+def test_separate_many_with_score_extras():
+    """StreamSeparator.separate_many(extras=...) == per-track Separator
+    with the same score channels, on and off the mesh."""
+    from convsep_tpu.dsp import num_frames
+
+    preset = tiny_preset("bach10")
+    cfg = preset.model
+    params = ConvSep(cfg).init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.time_context, cfg.feat_size, cfg.channels_in)),
+    )
+    rng = np.random.default_rng(5)
+    fs = preset.transform.fs
+    tracks = [(0.1 * rng.standard_normal(fs + 99 * i)).astype(np.float32) for i in range(3)]
+    extras = []
+    for t in tracks:
+        nf = num_frames(len(t), preset.transform.hop_size)
+        extras.append(
+            np.abs(rng.standard_normal((nf, cfg.feat_size, cfg.channels_in - 1))).astype(np.float32)
+        )
+    single = Separator(preset, params)
+    want = [single(t, extra=e) for t, e in zip(tracks, extras)]
+    for mesh in (None, make_mesh(data=2)):
+        ss = StreamSeparator(preset, params, mesh=mesh)
+        outs = ss.separate_many(tracks, extras=extras)
+        for w, o in zip(want, outs):
+            np.testing.assert_allclose(o, w, atol=1e-4)
+    with pytest.raises(ValueError, match="extras"):
+        StreamSeparator(preset, params).separate_many(tracks, extras=extras[:1])
