@@ -326,6 +326,8 @@ def _cmd_serve(args) -> int:
         batch_size=args.batch_size,
         poll_s=args.poll,
         mesh=mesh,
+        score_dir=args.score_dir,
+        score_filter=args.score_filter,
     )
     print(f"serving {args.input_dir} -> {args.out} (ctrl-c to stop)")
     total = svc.run(
@@ -588,6 +590,8 @@ def main(argv=None) -> int:
     sv.add_argument("--mesh-data", type=int, default=1)
     sv.add_argument("--max-sweeps", type=int, default=None, help="stop after N sweeps (default: run forever)")
     sv.add_argument("--unsafe-pickle", action="store_true")
+    sv.add_argument("--score-dir", default=None, help="score-informed runs: dir with <track>/<source>.notes.txt per incoming wav")
+    sv.add_argument("--score-filter", default="comb", choices=["comb", "nmf"], help="score channel filter (with --score-dir)")
     sv.set_defaults(fn=_cmd_serve)
 
     ev = sub.add_parser("evaluate", help="BSS Eval SDR/SIR/SAR of estimated stems")

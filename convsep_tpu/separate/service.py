@@ -40,6 +40,8 @@ class WatchService:
         batch_size: int = 4,
         poll_s: float = 1.0,
         mesh=None,
+        score_dir: str | None = None,
+        score_filter: str = "comb",
     ):
         self.preset = preset
         self.input_dir = input_dir
@@ -47,6 +49,12 @@ class WatchService:
         self.batch_size = int(batch_size)
         self.poll_s = float(poll_s)
         self.stereo = preset.model.decoder_reduce == "all"
+        # score-informed serving: <score_dir>/<track>/<source>.notes.txt
+        # must exist alongside each incoming wav
+        if score_dir is not None and self.stereo:
+            raise ValueError("score-informed serving is mono-preset only")
+        self.score_dir = score_dir
+        self.score_filter = score_filter
         self.sep = StreamSeparator(
             preset, params, mesh=mesh, output_dtype="int16", input_dtype="int16"
         )
@@ -77,9 +85,30 @@ class WatchService:
         for n in names:
             if self._done(n):
                 continue
+            if self.score_dir is not None and not all(
+                os.path.exists(os.path.join(self.score_dir, n, f"{s}.notes.txt"))
+                for s in self.preset.sources
+            ):
+                continue  # wav arrived before its score — pick up next sweep
             if self._stable(os.path.join(self.input_dir, n + ".wav")):
                 out.append(n)
         return out
+
+    def _extra(self, name: str, audio: np.ndarray) -> np.ndarray:
+        from convsep_tpu.data.features import score_channels
+        from convsep_tpu.dsp.transform import TransformFFT
+        from convsep_tpu.score import parse_note_annotations
+
+        mag = TransformFFT(self.preset.transform).compute_file(
+            np.asarray(audio, np.float32)
+        )
+        notes = [
+            parse_note_annotations(os.path.join(self.score_dir, name, f"{s}.notes.txt"))
+            for s in self.preset.sources
+        ]
+        return score_channels(
+            mag, notes, self.preset, self.score_filter
+        ) * self.preset.train.mult_factor_in
 
     def _read(self, name: str) -> np.ndarray:
         fs, audio = read_wav(os.path.join(self.input_dir, name + ".wav"))
@@ -105,7 +134,12 @@ class WatchService:
         while names:
             batch, names = names[: self.batch_size], names[self.batch_size :]
             tracks = [self._read(n) for n in batch]
-            for n, stems in zip(batch, self.sep.separate_many(tracks)):
+            extras = (
+                [self._extra(n, t) for n, t in zip(batch, tracks)]
+                if self.score_dir is not None
+                else None
+            )
+            for n, stems in zip(batch, self.sep.separate_many(tracks, extras=extras)):
                 self._write(n, stems)
                 done += 1
         return done

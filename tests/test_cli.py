@@ -483,3 +483,45 @@ def test_separate_batch_score_dir(tmp_path, monkeypatch):
         assert sorted(os.listdir(os.path.join(est, f"piece{i}"))) == sorted(
             f"{s}.wav" for s in preset.sources
         )
+
+
+def test_serve_score_dir(tmp_path, monkeypatch):
+    """Watch-folder serving with score conditioning: wavs whose score
+    hasn't arrived yet are left for a later sweep."""
+    from convsep_tpu.data.synth import note_mixture
+    from convsep_tpu.separate.service import WatchService
+    from convsep_tpu.train.loop import create_train_state
+
+    preset = _tiny_bach(monkeypatch)
+    S = preset.model.num_sources
+    wavs = tmp_path / "in"
+    scores = tmp_path / "scores"
+    out = tmp_path / "out"
+    wavs.mkdir()
+    all_notes = {}
+    for i in range(2):
+        stems, mix, notes = note_mixture(S, FS, fs=FS, notes_per_source=2, seed=i)
+        write_wav(wavs / f"p{i}.wav", FS, mix)
+        all_notes[f"p{i}"] = notes
+    # score present only for p0 at first
+    def put_score(name):
+        sdir = scores / name
+        sdir.mkdir(parents=True)
+        for s, src_notes in zip(preset.sources, all_notes[name]):
+            with open(sdir / f"{s}.notes.txt", "w") as f:
+                for n in src_notes:
+                    f.write(f"{n.start_sec} {n.end_sec} {n.pitch_midi}\n")
+
+    put_score("p0")
+    state, _ = create_train_state(preset, 0)
+    svc = WatchService(
+        preset, state.params, str(wavs), str(out),
+        batch_size=2, score_dir=str(scores), score_filter="comb",
+    )
+    svc.pending()  # first sweep records sizes (stability check)
+    assert svc.sweep() == 1  # p0 only — p1's score is missing
+    assert os.path.isdir(out / "p0") and not os.path.exists(out / "p1")
+    put_score("p1")
+    svc.pending()
+    assert svc.sweep() == 1
+    assert sorted(os.listdir(out / "p1")) == sorted(f"{s}.wav" for s in preset.sources)
