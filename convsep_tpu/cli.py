@@ -56,6 +56,11 @@ def _cmd_train(args) -> int:
                 preset.train, checkpoint_every_epochs=args.checkpoint_every_epochs
             ),
         )
+    if args.optimizer_impl:
+        preset = dataclasses.replace(
+            preset,
+            train=dataclasses.replace(preset.train, optimizer_impl=args.optimizer_impl),
+        )
     if args.from_audio:
         from convsep_tpu.data.audio_dataset import AudioSegmentDataset, segment_samples
 
@@ -191,7 +196,7 @@ def _cmd_separate(args) -> int:
             mag, notes, preset, getattr(args, "score_filter", "comb")
         ) * preset.train.mult_factor_in
     # stems quantized to PCM16 on device — the wav precision, half the transfer
-    if args.chunked and not preset.transform.multires:
+    if args.chunked:
         from convsep_tpu.separate import ChunkedSeparator
 
         sep = ChunkedSeparator(
@@ -199,8 +204,6 @@ def _cmd_separate(args) -> int:
             output_dtype="int16", input_dtype="int16",
         )
     else:
-        if args.chunked:
-            print("note: --chunked does not support multires presets; using whole-track path")
         sep = Separator(preset, params, output_dtype="int16", input_dtype="int16")
     os.makedirs(args.out, exist_ok=True)
     if stereo:
@@ -535,6 +538,10 @@ def main(argv=None) -> int:
     tr.add_argument("--resume", action="store_true")
     tr.add_argument("--score-informed", action="store_true")
     tr.add_argument("--mesh-data", type=int, default=1, help="data-parallel mesh size")
+    tr.add_argument(
+        "--optimizer-impl", default=None, choices=["xla", "fused"],
+        help="adadelta update path: generic optax or the single-pass fused Pallas kernel",
+    )
     tr.add_argument("--grain", action="store_true", help="use the grain data loader")
     tr.add_argument(
         "--from-audio",

@@ -64,6 +64,11 @@ class TrainConfig:
     batch_size: int = 32
     num_epochs: int = 50
     optimizer: str = "adadelta"
+    # "xla" = generic optax update (default — measured faster: XLA fuses
+    # the adadelta accumulation into the dW GEMM epilogue); "fused" =
+    # single-pass Pallas adadelta kernel (train/fused_optim.py, a pinned
+    # decision record). Identical math; requires optimizer="adadelta".
+    optimizer_impl: str = "xla"
     learning_rate: float = 1.0
     alpha: float = 0.001
     beta: float | None = None

@@ -51,6 +51,51 @@ from convsep_tpu.models.masks import wiener_mask
 from convsep_tpu.separate.pipeline import _window
 
 
+def _multires_extra_chunk(audio_slice: jnp.ndarray, preset: Preset, Fc: int) -> jnp.ndarray:
+    """(Fc*hop + W - hop,) padded-coordinate chunk slice → (Fc, bins, n_res)
+    multi-resolution extra channels, byte-identical to the whole-track
+    `dsp/multires.py::multires_channels` grid.
+
+    All resolutions share the main hop, and every extra window W2 is
+    smaller than the main W, so resolution W2's frame n starts at
+    n*hop - W2//2 in track coordinates = n*hop + (W - W2)//2 inside the
+    main slice (front pad W//2) — the chunk slice already contains all the
+    context each resolution needs, and the chunk-edge zeros reproduce the
+    whole-track front/tail padding exactly (tests/test_multires.py).
+    """
+    from convsep_tpu.dsp.multires import _window as _mr_window, freq_interp_matrix
+
+    t, tr = preset.transform, preset.train
+    W, hop = t.frame_size, t.hop_size
+    chans = []
+    for size in t.multires:
+        if size > W:
+            raise ValueError(
+                f"multires size {size} exceeds the main frame size {W}"
+            )
+        win2 = _mr_window(t.window, size)
+        off = (W - size) // 2
+        view = jax.lax.dynamic_slice_in_dim(
+            audio_slice, off, (Fc - 1) * hop + size, axis=-1
+        )
+        frames2 = frame_signal(view, size, hop, Fc)  # (Fc, size)
+        if t.fft_impl == "fft":
+            mag2 = jnp.abs(jnp.fft.rfft(frames2 * jnp.asarray(win2, jnp.float32), n=size))
+        else:
+            cos2, sin2 = _forward_mats(size, size, _key(win2))
+            hp = dict(
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            re2 = jnp.matmul(frames2, jnp.asarray(cos2), **hp)
+            im2 = jnp.matmul(frames2, jnp.asarray(sin2), **hp)
+            mag2 = jnp.sqrt(re2 * re2 + im2 * im2)
+        interp = jnp.asarray(freq_interp_matrix(size // 2 + 1, t.bins))
+        chans.append(jnp.matmul(mag2, interp, preferred_element_type=jnp.float32))
+    out = jnp.stack(chans, axis=-1)  # (Fc, bins, n_res)
+    return scale_magnitude(out, t.iscale) * tr.mult_factor_in
+
+
 @partial(jax.jit, static_argnames=("preset", "chunk_segments", "output_dtype"), donate_argnums=(2,))
 def separate_chunk(
     params,
@@ -99,6 +144,9 @@ def separate_chunk(
         )
     mag = scale_magnitude(jnp.sqrt(re * re + im * im), t.iscale) * tr.mult_factor_in
     x = mag.reshape(chunk_segments, T, m.feat_size)[..., None]
+    if extra is None and t.multires:
+        # multi-res conditioning computed in-program from the same slice
+        extra = _multires_extra_chunk(audio_slice, preset, Fc)
     if extra is not None:
         x = jnp.concatenate(
             [x, extra.reshape(chunk_segments, T, m.feat_size, -1)], axis=-1
@@ -254,11 +302,15 @@ class ChunkedSeparator:
                 raise ValueError(f"unsupported stereo preset {preset.name!r}")
             self._n_extra = 0
         elif t.multires:
-            raise ValueError(
-                "chunked separation does not support multires presets "
-                f"(got {preset.name!r}): the extra channels use different "
-                "frame sizes whose chunk grids do not align"
-            )
+            # multi-res conditioning is computed inside the chunk program
+            # from the same audio slice (all resolutions share the hop and
+            # use smaller windows) — no host-side extras to slice
+            if any(size > t.frame_size for size in t.multires):
+                raise ValueError(
+                    "chunked separation requires multires sizes <= the main "
+                    f"frame size (got {t.multires} vs {t.frame_size})"
+                )
+            self._n_extra = 0
         else:
             # channels_in > 1 → score-informed preset: the caller supplies
             # (n_frames, F, channels_in-1) conditioning via `extra`

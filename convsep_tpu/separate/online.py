@@ -65,10 +65,19 @@ class OnlineSeparator:
         if self._stereo:
             if m.channels_in != 2 or t.multires:
                 raise ValueError(f"unsupported stereo preset {preset.name!r}")
-        elif m.channels_in != 1 or t.multires:
+        elif t.multires:
+            # multi-res channels are computed inside the chunk program from
+            # the pushed audio itself (separate_chunk), so online streaming
+            # needs no external conditioning source
+            if any(size > t.frame_size for size in t.multires):
+                raise ValueError(
+                    "online separation requires multires sizes <= the main "
+                    f"frame size (got {t.multires} vs {t.frame_size})"
+                )
+        elif m.channels_in != 1:
             raise ValueError(
-                "online separation supports plain mono/stereo presets "
-                f"(got {preset.name!r}); score-informed and multires "
+                "online separation supports plain mono/stereo and multires "
+                f"presets (got {preset.name!r}); score-informed "
                 "conditioning has no streaming source to arrive from"
             )
         if t.frame_size % t.hop_size != 0:

@@ -85,18 +85,35 @@ def _feature_loss_fn(preset: Preset) -> Callable:
     return loss_fn
 
 
+def _apply_from_opt(opt: optax.GradientTransformation) -> Callable:
+    """Default optimizer apply: (params, grads, opt_state) →
+    (params', opt_state', grad_norm) via the generic optax path."""
+
+    def apply_fn(params, grads, opt_state):
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, gnorm
+
+    return apply_fn
+
+
 def step_from_loss(
-    loss_fn: Callable, opt: optax.GradientTransformation
+    loss_fn: Callable,
+    opt: optax.GradientTransformation,
+    apply_fn: Callable | None = None,
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, dict]]:
     """loss_fn → jitted donated-buffer step: (state, x, y) →
-    (state, {"loss": (), "grad_norm": ()}) (SURVEY.md §5.5 observability)."""
+    (state, {"loss": (), "grad_norm": ()}) (SURVEY.md §5.5 observability).
+
+    ``apply_fn`` overrides the optimizer application (e.g. the single-pass
+    fused Pallas adadelta, train/fused_optim.py)."""
+    if apply_fn is None:
+        apply_fn = _apply_from_opt(opt)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, x, y):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, x, y)
-        gnorm = optax.global_norm(grads)
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params, opt_state, gnorm = apply_fn(state.params, grads, state.opt_state)
         new = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
         return new, {"loss": loss, "grad_norm": gnorm}
 
@@ -104,7 +121,9 @@ def step_from_loss(
 
 
 def multi_step_from_loss(
-    loss_fn: Callable, opt: optax.GradientTransformation
+    loss_fn: Callable,
+    opt: optax.GradientTransformation,
+    apply_fn: Callable | None = None,
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, dict]]:
     """K train steps per device dispatch (VERDICT r1 #3).
 
@@ -114,15 +133,15 @@ def multi_step_from_loss(
     rigs) amortizes over K steps. Identical math to K single steps —
     equality-tested in tests/test_train.py.
     """
+    if apply_fn is None:
+        apply_fn = _apply_from_opt(opt)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step_k(state: TrainState, xs, ys):
         def body(st, xy):
             x, y = xy
             loss, grads = jax.value_and_grad(loss_fn)(st.params, x, y)
-            gnorm = optax.global_norm(grads)
-            updates, opt_state = opt.update(grads, st.opt_state, st.params)
-            params = optax.apply_updates(st.params, updates)
+            params, opt_state, gnorm = apply_fn(st.params, grads, st.opt_state)
             return (
                 TrainState(step=st.step + 1, params=params, opt_state=opt_state),
                 (loss, gnorm),
@@ -134,19 +153,36 @@ def multi_step_from_loss(
     return train_step_k
 
 
+def _preset_apply_fn(preset: Preset) -> Callable | None:
+    """Fused single-pass Pallas adadelta apply when the preset selects it
+    (TrainConfig.optimizer_impl="fused"); None → generic optax path."""
+    if preset.train.optimizer_impl == "xla":
+        return None
+    if preset.train.optimizer_impl != "fused":
+        raise ValueError(
+            f"unknown optimizer_impl {preset.train.optimizer_impl!r};"
+            " expected 'xla' or 'fused'"
+        )
+    if preset.train.optimizer != "adadelta":
+        raise ValueError("optimizer_impl='fused' requires optimizer='adadelta'")
+    from convsep_tpu.train.fused_optim import fused_adadelta_apply
+
+    return partial(fused_adadelta_apply, learning_rate=preset.train.learning_rate)
+
+
 def make_train_step(
     preset: Preset, opt: optax.GradientTransformation
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, dict]]:
     """Build the jitted train step: (state, x (B,T,F,C), y (B,S,T,F)) →
     (state, metrics). State buffers are donated (updated in place in HBM)."""
-    return step_from_loss(_feature_loss_fn(preset), opt)
+    return step_from_loss(_feature_loss_fn(preset), opt, _preset_apply_fn(preset))
 
 
 def make_train_step_multi(
     preset: Preset, opt: optax.GradientTransformation
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, dict]]:
     """K-steps-per-dispatch variant of :func:`make_train_step`."""
-    return multi_step_from_loss(_feature_loss_fn(preset), opt)
+    return multi_step_from_loss(_feature_loss_fn(preset), opt, _preset_apply_fn(preset))
 
 
 def make_eval_step(preset: Preset, from_audio: bool = False) -> Callable:
@@ -207,6 +243,14 @@ class Trainer:
         seed: int | None = None,
         from_audio: bool = False,
     ):
+        if mesh is not None and preset.train.optimizer_impl == "fused":
+            # the fused Pallas update is a single-device kernel: under a
+            # mesh the custom call cannot be partitioned over TP-sharded
+            # leaves, so fall back to the (identical-math) XLA update
+            preset = dataclasses.replace(
+                preset,
+                train=dataclasses.replace(preset.train, optimizer_impl="xla"),
+            )
         self.preset = preset
         self.workdir = workdir
         self.mesh = mesh

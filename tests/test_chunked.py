@@ -96,16 +96,38 @@ def test_chunked_norm_cache_reused(rng):
 
 
 def test_chunked_rejects_unsupported_presets():
+    # multires sizes larger than the main window would need context the
+    # chunk slice does not carry
     multires = tiny_preset(name="dsd100")
     multires = dataclasses.replace(
         multires,
-        transform=dataclasses.replace(multires.transform, multires=(64, 128)),
+        transform=dataclasses.replace(multires.transform, multires=(512,)),
+        model=dataclasses.replace(multires.model, channels_in=2),
     )
     with pytest.raises(ValueError, match="multires"):
         ChunkedSeparator(multires, None)
     bad_hop = tiny_preset(frame_size=256, hop_size=32)
     with pytest.raises(ValueError, match="hop"):
         ChunkedSeparator(bad_hop, None)
+
+
+def test_chunked_multires_equals_whole_track(rng):
+    """Multi-res conditioned chunked == whole-track: the extra channels are
+    recomputed inside each chunk program from the same slice (all
+    resolutions share the hop, smaller windows need less context)."""
+    preset = tiny_preset(name="dsd100")
+    preset = dataclasses.replace(
+        preset,
+        transform=dataclasses.replace(preset.transform, multires=(64, 128)),
+        model=dataclasses.replace(preset.model, channels_in=3),
+    )
+    params = _params(preset)
+    L = 10_000
+    audio = (0.1 * rng.standard_normal(L)).astype(np.float32)
+    whole = Separator(preset, params)(audio)
+    chunked = ChunkedSeparator(preset, params, chunk_segments=2)(audio)
+    assert chunked.shape == whole.shape == (4, L)
+    np.testing.assert_allclose(chunked, whole, atol=1e-5)
 
 
 def test_chunked_score_informed_equals_whole_track(rng):

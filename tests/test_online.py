@@ -60,6 +60,25 @@ def test_online_emits_progressively(rng):
     assert got_early.shape[-1] >= audio.shape[-1] - lat
 
 
+def test_online_multires_equals_whole_track(rng):
+    """Multi-res presets stream online: the conditioning channels are
+    computed in-program from the pushed audio itself."""
+    import dataclasses
+
+    preset = tiny_preset()
+    preset = dataclasses.replace(
+        preset,
+        transform=dataclasses.replace(preset.transform, multires=(64, 128)),
+        model=dataclasses.replace(preset.model, channels_in=3),
+    )
+    params = _params(preset)
+    audio = (0.1 * rng.standard_normal(9_000)).astype(np.float32)
+    whole = Separator(preset, params)(audio)
+    osep = OnlineSeparator(preset, params, chunk_segments=2)
+    got = _push_all(osep, audio, (311,), rng)
+    np.testing.assert_allclose(got, whole, atol=1e-5)
+
+
 def test_online_stereo_equals_whole_track(rng):
     from tests.test_stereo import tiny_stereo_preset
 
