@@ -43,7 +43,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from convsep_tpu.configs.presets import Preset
-from convsep_tpu.dsp.dft import _forward_mats, _inverse_mats, _key
+from convsep_tpu.dsp.dft import (
+    _dft_frames_factored,
+    _forward_mats,
+    _idft_frames_factored,
+    _inverse_mats,
+    _key,
+    _use_factored,
+)
 from convsep_tpu.dsp.istft import ola_norm, overlap_add
 from convsep_tpu.dsp.stft import frame_signal, num_frames, scale_magnitude
 from convsep_tpu.models.convsep import ConvSep
@@ -81,6 +88,14 @@ def _multires_extra_chunk(audio_slice: jnp.ndarray, preset: Preset, Fc: int) -> 
         frames2 = frame_signal(view, size, hop, Fc)  # (Fc, size)
         if t.fft_impl == "fft":
             mag2 = jnp.abs(jnp.fft.rfft(frames2 * jnp.asarray(win2, jnp.float32), n=size))
+        elif _use_factored("auto", size):
+            re2, im2 = _dft_frames_factored(
+                frames2 * jnp.asarray(win2, jnp.float32),
+                size,
+                size // 2 + 1,
+                jax.lax.Precision.HIGHEST,
+            )
+            mag2 = jnp.sqrt(re2 * re2 + im2 * im2)
         else:
             cos2, sin2 = _forward_mats(size, size, _key(win2))
             hp = dict(
@@ -129,9 +144,17 @@ def separate_chunk(
         audio_slice = audio_slice.astype(jnp.float32) * (1.0 / 32768.0)
     win = _window(preset)
     frames = frame_signal(audio_slice, W, hop, Fc)  # (Fc, W)
+    factored = _use_factored("auto", nfft) and nfft == W
     if t.fft_impl == "fft":
         spec = jnp.fft.rfft(frames * jnp.asarray(win, jnp.float32), n=nfft)
         re, im = jnp.real(spec), jnp.imag(spec)
+    elif factored:
+        # Cooley–Tukey two-pass DFT (dsp/dft.py): 16–32× fewer MACs and no
+        # (W, bins) matrix constants in the chunk program at 2048+ points
+        fw = frames * jnp.asarray(win, jnp.float32)
+        re, im = _dft_frames_factored(
+            fw, nfft, t.bins, jax.lax.Precision.HIGHEST
+        )
     else:  # matmul-DFT path (dsp/dft.py conventions, incl. HIGHEST precision)
         cos_m, sin_m = _forward_mats(nfft, W, _key(win))
         re = jnp.matmul(
@@ -160,6 +183,11 @@ def separate_chunk(
     if t.fft_impl == "fft":
         fr = jnp.fft.irfft(est_re + 1j * est_im, n=nfft, axis=-1)[..., :W]
         fr = fr * jnp.asarray(win, jnp.float32)
+    elif factored:
+        from convsep_tpu.dsp.dft import _PRECISIONS
+
+        fr = _idft_frames_factored(est_re, est_im, nfft, _PRECISIONS[t.dft_precision])
+        fr = fr[..., :W] * jnp.asarray(win / float(nfft), jnp.float32)
     else:
         from convsep_tpu.dsp.dft import _PRECISIONS
 
@@ -208,10 +236,19 @@ def separate_chunk_stereo(
         audio_slice = audio_slice.astype(jnp.float32) * (1.0 / 32768.0)
     win = _window(preset)
     frames = frame_signal(audio_slice, W, hop, Fc)  # (2, Fc, W)
-    cos_m, sin_m = _forward_mats(nfft, W, _key(win))
-    hp = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
-    re = jnp.matmul(frames, jnp.asarray(cos_m), **hp)  # (2, Fc, bins)
-    im = jnp.matmul(frames, jnp.asarray(sin_m), **hp)
+    factored = _use_factored("auto", nfft) and nfft == W
+    if factored:
+        re, im = _dft_frames_factored(
+            frames * jnp.asarray(win, jnp.float32),
+            nfft,
+            t.bins,
+            jax.lax.Precision.HIGHEST,
+        )  # (2, Fc, bins)
+    else:
+        cos_m, sin_m = _forward_mats(nfft, W, _key(win))
+        hp = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        re = jnp.matmul(frames, jnp.asarray(cos_m), **hp)  # (2, Fc, bins)
+        im = jnp.matmul(frames, jnp.asarray(sin_m), **hp)
     mag = scale_magnitude(jnp.sqrt(re * re + im * im), t.iscale) * tr.mult_factor_in
     x = mag.reshape(2, chunk_segments, T, m.feat_size).transpose(1, 2, 3, 0)
     y = ConvSep(m).apply(params, x, method=ConvSep.sources)  # (cs, S, T, F, 2)
@@ -221,11 +258,16 @@ def separate_chunk_stereo(
     )
     from convsep_tpu.dsp.dft import _PRECISIONS
 
-    inv_a, inv_b = _inverse_mats(nfft, W, _key(win))
-    rp = dict(preferred_element_type=jnp.float32, precision=_PRECISIONS[t.dft_precision])
-    fr = jnp.matmul(mask * re[None], jnp.asarray(inv_a), **rp) + jnp.matmul(
-        mask * im[None], jnp.asarray(inv_b), **rp
-    )  # (S, 2, Fc, W)
+    if factored:
+        fr = _idft_frames_factored(
+            mask * re[None], mask * im[None], nfft, _PRECISIONS[t.dft_precision]
+        )[..., :W] * jnp.asarray(win / float(nfft), jnp.float32)  # (S, 2, Fc, W)
+    else:
+        inv_a, inv_b = _inverse_mats(nfft, W, _key(win))
+        rp = dict(preferred_element_type=jnp.float32, precision=_PRECISIONS[t.dft_precision])
+        fr = jnp.matmul(mask * re[None], jnp.asarray(inv_a), **rp) + jnp.matmul(
+            mask * im[None], jnp.asarray(inv_b), **rp
+        )  # (S, 2, Fc, W)
     ola = overlap_add(fr, hop)
     margin = W - hop
     head = ola[..., :margin] + spill

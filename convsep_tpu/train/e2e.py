@@ -55,6 +55,23 @@ def make_audio_loss_fn(preset: Preset) -> Callable:
             re, im = stft_matmul(audio, win, t.hop_size, t.nfft)
         return scale_magnitude(jnp.sqrt(re * re + im * im), t.iscale)
 
+    def extra_of(mix):  # (B, seg) → (B, T, F, n_res) multires channels
+        # same definition as the feature files (data/features.py) and the
+        # fused separation path: per-resolution magnitude on the shared
+        # hop grid, interpolated onto the main bin axis (dsp/multires.py)
+        from convsep_tpu.dsp.multires import _window as _mr_window, freq_interp_matrix
+
+        chans = []
+        for size in t.multires:
+            win2 = _mr_window(t.window, size)
+            re2, im2 = stft_matmul(mix, win2, t.hop_size, size)
+            mag2 = jnp.sqrt(re2 * re2 + im2 * im2)
+            interp = jnp.asarray(freq_interp_matrix(size // 2 + 1, t.bins))
+            chans.append(
+                jnp.matmul(mag2, interp, preferred_element_type=jnp.float32)
+            )
+        return scale_magnitude(jnp.stack(chans, axis=-1), t.iscale) * tr.mult_factor_in
+
     def stereo_loss_fn(params, mix, stems):
         # stereo-native joint model: mix (B, 2, seg), stems (B, S, 2, seg)
         B = mix.shape[0]
@@ -86,7 +103,10 @@ def make_audio_loss_fn(preset: Preset) -> Callable:
             mag_of(stems.reshape(-1, seg)).reshape(B, -1, m.time_context, m.feat_size)
             * tr.mult_factor_out
         )
-        out = model.apply(params, x[..., None], method=ConvSep.sources)
+        xc = x[..., None]
+        if t.multires:  # multi-res conditioning computed in-step from mix
+            xc = jnp.concatenate([xc, extra_of(mix)], axis=-1)
+        out = model.apply(params, xc, method=ConvSep.sources)
         est = wiener_filter(out, x, eps=preset.sep.wiener_eps, axis=1)
         return separation_loss(est, y_t, interf, source_axis=1)
 
@@ -98,9 +118,9 @@ def make_audio_train_step(
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, dict]]:
     """(state, mix (B, seg), stems (B, S, seg)) → (state, metrics), one
     program (STFT + forward + backward + update)."""
-    from convsep_tpu.train.loop import step_from_loss
+    from convsep_tpu.train.loop import _preset_apply_fn, step_from_loss
 
-    return step_from_loss(make_audio_loss_fn(preset), opt)
+    return step_from_loss(make_audio_loss_fn(preset), opt, _preset_apply_fn(preset))
 
 
 def make_audio_train_step_multi(
@@ -108,6 +128,8 @@ def make_audio_train_step_multi(
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], tuple[TrainState, dict]]:
     """K-steps-per-dispatch variant: (state, mix (K,B,seg), stems
     (K,B,S,seg)) → (state, {"loss": (K,), "grad_norm": (K,)})."""
-    from convsep_tpu.train.loop import multi_step_from_loss
+    from convsep_tpu.train.loop import _preset_apply_fn, multi_step_from_loss
 
-    return multi_step_from_loss(make_audio_loss_fn(preset), opt)
+    return multi_step_from_loss(
+        make_audio_loss_fn(preset), opt, _preset_apply_fn(preset)
+    )

@@ -111,6 +111,20 @@ def test_chunked_rejects_unsupported_presets():
         ChunkedSeparator(bad_hop, None)
 
 
+def test_chunked_factored_dft_equals_whole_track(rng):
+    """At nfft >= 2048 the chunk program uses the factored Cooley-Tukey
+    DFT (dsp/dft.py auto threshold) — must still match the whole-track
+    Separator, which routes through the same factored stft/istft."""
+    preset = tiny_preset(frame_size=2048, hop_size=512)
+    params = _params(preset)
+    L = 20_000
+    audio = (0.1 * rng.standard_normal(L)).astype(np.float32)
+    whole = Separator(preset, params)(audio)
+    chunked = ChunkedSeparator(preset, params, chunk_segments=2)(audio)
+    assert chunked.shape == whole.shape == (4, L)
+    np.testing.assert_allclose(chunked, whole, atol=1e-5)
+
+
 def test_chunked_multires_equals_whole_track(rng):
     """Multi-res conditioned chunked == whole-track: the extra channels are
     recomputed inside each chunk program from the same slice (all

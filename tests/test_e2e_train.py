@@ -74,6 +74,35 @@ def test_audio_train_loss_decreases(audio_root, preset):
     )
 
 
+def test_audio_train_multires_loss_decreases(audio_root, preset):
+    """From-audio training with multi-res conditioning: the extra channels
+    are computed inside the jitted step from the mix segment itself."""
+    import dataclasses
+
+    mr = dataclasses.replace(
+        preset,
+        transform=dataclasses.replace(preset.transform, multires=(64, 128)),
+        model=dataclasses.replace(preset.model, channels_in=3),
+    )
+    seg = segment_samples(mr)
+    ds = AudioSegmentDataset(
+        audio_root, ("vocals", "accompaniment"), seg, overlap_samples=seg // 2, fs=FS
+    )
+    state, opt = create_train_state(mr, 0)
+    step = make_audio_train_step(mr, opt)
+    epoch_means = []
+    for epoch in range(4):
+        losses = []
+        for mix, stems in ds.batches(4, shuffle=True, seed=epoch):
+            state, m = step(state, jnp.asarray(mix), jnp.asarray(stems))
+            losses.append(float(m["loss"]))
+        epoch_means.append(float(np.mean(losses)))
+    assert np.isfinite(epoch_means).all()
+    assert min(epoch_means[1:]) < 0.9 * epoch_means[0], (
+        f"multires e2e loss did not decrease: epoch means {epoch_means}"
+    )
+
+
 def test_audio_train_step_rejects_bad_segment(audio_root, preset):
     state, opt = create_train_state(preset, 0)
     step = make_audio_train_step(preset, opt)

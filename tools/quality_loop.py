@@ -121,7 +121,9 @@ def main() -> int:
         mult_factor_in=preset.train.mult_factor_in,
         mult_factor_out=preset.train.mult_factor_out,
         extra_channels=(
-            tuple(f"score_{s}" for s in preset.sources) if score_informed else ()
+            tuple(f"score_{s}" for s in preset.sources)
+            if score_informed
+            else tuple(f"res{size}" for size in preset.transform.multires)
         ),
     )
     trainer = Trainer(preset, workdir=os.path.join(args.out, "run"))
