@@ -337,6 +337,23 @@ def run_benchmark(
         rtf_e2e_chunked = audio_sec / float(np.min(chunk_times))
     except Exception as e:
         rtf_e2e_chunked = f"failed: {type(e).__name__}"
+    # complement-fetch variant: conservative masks (sum to exactly 1) let
+    # the host derive the LAST stem as mixture − Σ others, skipping 1/S of
+    # the download bytes — the production mode for transfer-bound links
+    try:
+        csc = ChunkedSeparator(
+            preset, params, chunk_segments=32, output_dtype="int16",
+            input_dtype="int16", complement_last=True,
+        )
+        csc(host_pcm16)  # compile + warm
+        comp_times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            csc(host_pcm16)
+            comp_times.append(time.perf_counter() - t0)
+        rtf_e2e_chunked_comp = audio_sec / float(np.min(comp_times))
+    except Exception as e:
+        rtf_e2e_chunked_comp = f"failed: {type(e).__name__}"
 
     # sustained throughput: K tracks dispatched async (device queue keeps the
     # chip busy), one dependent tiny fetch per output at the end — per-call
@@ -530,6 +547,11 @@ def run_benchmark(
                 round(rtf_e2e_chunked, 2)
                 if isinstance(rtf_e2e_chunked, float)
                 else rtf_e2e_chunked
+            ),
+            "rtf_e2e_streaming_single_complement": (
+                round(rtf_e2e_chunked_comp, 2)
+                if isinstance(rtf_e2e_chunked_comp, float)
+                else rtf_e2e_chunked_comp
             ),
             "stem_fetch_median_s": float(np.median(t_fetch)),
             "stems_dtype": "int16 (PCM16, quantized on device)",

@@ -17,7 +17,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def wiener_mask(y: jnp.ndarray, p: float = 1.0, eps: float = 1e-8, axis: int = -1) -> jnp.ndarray:
+def wiener_mask(
+    y: jnp.ndarray,
+    p: float = 1.0,
+    eps: float = 1e-8,
+    axis: int = -1,
+    conserve_last: bool = False,
+) -> jnp.ndarray:
     """Per-source soft mask from nonnegative source estimates.
 
     y: nonnegative magnitudes (model outputs) with the sources axis at
@@ -25,11 +31,24 @@ def wiener_mask(y: jnp.ndarray, p: float = 1.0, eps: float = 1e-8, axis: int = -
     model's native source-major layout with ``axis=0`` so no transpose is
     ever materialized). Returns masks of the same shape; along the sources
     axis the masks sum to ``sum_j y_j^p / (sum_j y_j^p + eps) <= 1``.
+
+    ``conserve_last=True`` assigns the eps shortfall (time-frequency energy
+    no source claimed, e.g. ReLU-dead bins) to the LAST source, so the
+    masks sum to EXACTLY 1 and the stems sum back to the (iSTFT∘STFT)
+    mixture — the classic "accompaniment = mixture − vocals" conservation,
+    in closed form: ``mask_last = (y_last^p + eps) / (Σ_j y_j^p + eps)``.
+    This is what makes host-side complement-fetch (ChunkedSeparator's
+    ``complement_last``) exact rather than approximate.
     """
     yp = jnp.where(y > 0, y, 0.0)
     if p != 1.0:
         yp = jnp.power(yp, p)
     denom = jnp.sum(yp, axis=axis, keepdims=True) + eps
+    if conserve_last:
+        ix = tuple(
+            -1 if i == axis % yp.ndim else slice(None) for i in range(yp.ndim)
+        )
+        yp = yp.at[ix].add(eps)
     return yp / denom
 
 

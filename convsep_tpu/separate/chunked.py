@@ -111,7 +111,7 @@ def _multires_extra_chunk(audio_slice: jnp.ndarray, preset: Preset, Fc: int) -> 
     return scale_magnitude(out, t.iscale) * tr.mult_factor_in
 
 
-@partial(jax.jit, static_argnames=("preset", "chunk_segments", "output_dtype"), donate_argnums=(2,))
+@partial(jax.jit, static_argnames=("preset", "chunk_segments", "output_dtype", "conserve_last"), donate_argnums=(2,))
 def separate_chunk(
     params,
     audio_slice: jnp.ndarray,
@@ -121,6 +121,7 @@ def separate_chunk(
     chunk_segments: int,
     output_dtype: str = "float32",
     extra: jnp.ndarray | None = None,
+    conserve_last: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One chunk of the fused pipeline with OLA carry.
 
@@ -177,7 +178,8 @@ def separate_chunk(
     y = ConvSep(m).apply(params, x, method=ConvSep.sources)  # (cs, S, T, F)
     y_frames = y.transpose(1, 0, 2, 3).reshape(S, Fc, m.feat_size)
     mask = wiener_mask(
-        y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=0
+        y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=0,
+        conserve_last=conserve_last,
     )
     est_re, est_im = mask * re[None], mask * im[None]
     if t.fft_impl == "fft":
@@ -211,7 +213,7 @@ def separate_chunk(
     return out, new_spill
 
 
-@partial(jax.jit, static_argnames=("preset", "chunk_segments", "output_dtype"), donate_argnums=(2,))
+@partial(jax.jit, static_argnames=("preset", "chunk_segments", "output_dtype", "conserve_last"), donate_argnums=(2,))
 def separate_chunk_stereo(
     params,
     audio_slice: jnp.ndarray,
@@ -220,6 +222,7 @@ def separate_chunk_stereo(
     preset: Preset,
     chunk_segments: int,
     output_dtype: str = "float32",
+    conserve_last: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Stereo-native chunk: (2, Fc*hop + W - hop) slice + (S, 2, W - hop)
     spill → ((S, 2, Fc*hop) stems chunk, new spill). Same OLA-carry design
@@ -254,7 +257,8 @@ def separate_chunk_stereo(
     y = ConvSep(m).apply(params, x, method=ConvSep.sources)  # (cs, S, T, F, 2)
     y_frames = y.transpose(1, 4, 0, 2, 3).reshape(S, 2, Fc, m.feat_size)
     mask = wiener_mask(
-        y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=0
+        y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=0,
+        conserve_last=conserve_last,
     )
     from convsep_tpu.dsp.dft import _PRECISIONS
 
@@ -336,6 +340,8 @@ class ChunkedSeparator:
         output_dtype: str = "float32",
         input_dtype: str = "float32",
         fetch_streams: int = 4,
+        complement_last: bool = False,
+        conserve_last: bool = False,
     ):
         t, m = preset.transform, preset.model
         self._stereo = m.decoder_reduce == "all"
@@ -376,6 +382,19 @@ class ChunkedSeparator:
         self.chunk_segments = int(chunk_segments)
         self.output_dtype = output_dtype
         self.input_dtype = input_dtype
+        # conserve_last: conservative Wiener masks on device — masks sum to
+        # EXACTLY 1 (masks.py::wiener_mask conserve_last), so the stems sum
+        # back to the (istft∘stft-roundtripped) mixture; the TF energy no
+        # source claimed (ReLU-dead bins) goes to the LAST stem — the
+        # classic "accompaniment = mixture − vocals" conservation.
+        # complement_last (implies conserve_last): additionally SKIP the
+        # last stem's device→host stream and derive it on the host as
+        # mixture − Σ(other stems) — exact under conservative masks, up to
+        # iSTFT-roundtrip float error (~1e-7) and, in int16 mode, the other
+        # stems' quantization (≤(S−1)/2 LSB). Cuts download bytes by 1/S
+        # (1/2 for ikala-class presets) on transfer-bound links.
+        self.complement_last = bool(complement_last)
+        self.conserve_last = bool(conserve_last or complement_last)
         self._pool = ThreadPoolExecutor(
             max_workers=fetch_streams, thread_name_prefix="convsep-chunk-fetch"
         )
@@ -386,6 +405,27 @@ class ChunkedSeparator:
         return inv_norm_slice(
             self.preset, self.chunk_segments, i, nc, nf, self._norm_cache
         )
+
+    # -- complement-last stem derivation --------------------------------------
+    def _derive_last(
+        self, others: np.ndarray, padded: np.ndarray, i: int, span: int
+    ) -> np.ndarray:
+        """last stem for chunk i = mixture slice − Σ fetched stems (host).
+
+        `others` is ((S−1)[, 2], span) in the output dtype; `padded` is the
+        mixture in padded STFT coordinates (the chunk program's input), so
+        the slice [i·span, (i+1)·span) aligns sample-for-sample with the
+        emitted chunk."""
+        mix = padded[..., i * span : i * span + span].astype(np.float32)
+        if self.input_dtype == "int16":
+            mix *= 1.0 / 32768.0
+        rest = others.astype(np.float32)
+        if self.output_dtype == "int16":
+            rest *= 1.0 / 32768.0
+        derived = mix - rest.sum(axis=0)
+        if self.output_dtype == "int16":
+            return np.clip(derived * 32768.0, -32768, 32767).astype(np.int16)
+        return derived.astype(np.float32)
 
     # -- streaming -----------------------------------------------------------
     def __call__(self, audio: np.ndarray, extra=None) -> np.ndarray:
@@ -467,13 +507,23 @@ class ChunkedSeparator:
                 self.preset,
                 self.chunk_segments,
                 self.output_dtype,
+                conserve_last=self.conserve_last,
                 **kw,
             )
             # fetch immediately on the pool: downloads of chunk i overlap
             # the (async-dispatched) compute of chunks > i
-            futs.append([self._pool.submit(np.asarray, out[s]) for s in range(S)])
-        full = np.concatenate(
-            [np.stack([f.result() for f in fs], 0) for fs in futs], axis=-1
-        )  # (S[, 2], nc*Fc*hop) in padded coordinates
+            n_fetch = S - 1 if self.complement_last else S
+            futs.append(
+                [self._pool.submit(np.asarray, out[s]) for s in range(n_fetch)]
+            )
+        parts = []
+        for i, fs in enumerate(futs):
+            got = np.stack([f.result() for f in fs], 0)
+            if self.complement_last:
+                got = np.concatenate(
+                    [got, self._derive_last(got, padded, i, span)[None]], 0
+                )
+            parts.append(got)
+        full = np.concatenate(parts, axis=-1)  # (S[, 2], nc*Fc*hop), padded coords
         full = full[..., W // 2 : W // 2 + L]
         return full.transpose(0, 2, 1) if self._stereo else full

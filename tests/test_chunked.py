@@ -191,3 +191,70 @@ def test_chunked_stereo_equals_whole_track(rng):
     # (L, 2) wav-layout input accepted too
     chunked2 = ChunkedSeparator(preset, params, chunk_segments=3)(audio.T)
     np.testing.assert_allclose(chunked2, whole, atol=1e-5)
+
+
+def test_conserve_last_stems_sum_to_mixture(rng):
+    """conserve_last makes the device masks sum to exactly 1, so the stems
+    sum back to the (iSTFT∘STFT-roundtripped) mixture — unlike the plain
+    eps masks, under which ReLU-dead bins leak energy."""
+    preset = tiny_preset()
+    params = _params(preset)
+    L = int(1.3 * preset.transform.fs)
+    audio = (0.1 * rng.standard_normal(L)).astype(np.float32)
+    plain = ChunkedSeparator(preset, params, chunk_segments=3)(audio)
+    cons = ChunkedSeparator(
+        preset, params, chunk_segments=3, conserve_last=True
+    )(audio)
+    np.testing.assert_allclose(cons[:-1], plain[:-1], atol=1e-6)
+    np.testing.assert_allclose(cons.sum(0), audio, atol=1e-4)
+    assert np.abs(plain.sum(0) - audio).max() > 1e-2  # plain masks leak
+
+
+def test_complement_last_matches_conserve_direct(rng):
+    """complement_last derives the last stem as mixture − Σ others on the
+    host; under conservative masks that must equal the directly-fetched
+    device stem up to iSTFT-roundtrip float error."""
+    preset = tiny_preset()
+    params = _params(preset)
+    L = int(1.3 * preset.transform.fs)
+    audio = (0.1 * rng.standard_normal(L)).astype(np.float32)
+    direct = ChunkedSeparator(
+        preset, params, chunk_segments=3, conserve_last=True
+    )(audio)
+    comp = ChunkedSeparator(
+        preset, params, chunk_segments=3, complement_last=True
+    )(audio)
+    assert comp.shape == direct.shape
+    np.testing.assert_allclose(comp[:-1], direct[:-1], atol=1e-6)
+    np.testing.assert_allclose(comp[-1], direct[-1], atol=1e-4)
+
+
+def test_complement_last_int16_within_quantization(rng):
+    """int16 mode: the derived stem may differ from the direct fetch by the
+    other stems' quantization error, ≤ ceil((S−1)/2)+1 LSBs."""
+    preset = tiny_preset()
+    params = _params(preset)
+    L = int(0.9 * preset.transform.fs)
+    audio = (0.1 * rng.standard_normal(L)).astype(np.float32)
+    kw = dict(chunk_segments=2, output_dtype="int16", input_dtype="int16")
+    direct = ChunkedSeparator(preset, params, conserve_last=True, **kw)(audio)
+    comp = ChunkedSeparator(preset, params, complement_last=True, **kw)(audio)
+    assert comp.dtype == np.int16
+    np.testing.assert_array_equal(comp[:-1], direct[:-1])
+    assert np.abs(comp[-1].astype(np.int32) - direct[-1].astype(np.int32)).max() <= 3
+
+
+def test_complement_last_stereo(rng):
+    """stereo presets: the derived stem is (2, span)-shaped per chunk."""
+    preset = tiny_preset(name="ikala-stereo")
+    params = _params(preset)
+    L = int(1.1 * preset.transform.fs)
+    audio = (0.1 * rng.standard_normal((2, L))).astype(np.float32)
+    direct = ChunkedSeparator(
+        preset, params, chunk_segments=2, conserve_last=True
+    )(audio)
+    comp = ChunkedSeparator(
+        preset, params, chunk_segments=2, complement_last=True
+    )(audio)
+    np.testing.assert_allclose(comp[:-1], direct[:-1], atol=1e-6)
+    np.testing.assert_allclose(comp[-1], direct[-1], atol=1e-4)

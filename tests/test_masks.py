@@ -43,3 +43,22 @@ def test_complex_mixture_preserves_phase(rng):
     est = np.asarray(wiener_filter(jnp.asarray(y), jnp.asarray(mix)))
     mask = wiener_np(y, np.ones((5, 9), np.float32))
     np.testing.assert_allclose(est, mask * mix[..., None], rtol=1e-5, atol=1e-6)
+
+
+def test_wiener_mask_conserve_last_sums_to_one():
+    import numpy as np
+    import jax.numpy as jnp
+    from convsep_tpu.models.masks import wiener_mask
+
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(rng.standard_normal((4, 7, 9)).astype(np.float32))
+    # plain: sums to < 1 (ReLU-dead bins leak through the eps denominator)
+    plain = wiener_mask(y, axis=0)
+    cons = wiener_mask(y, axis=0, conserve_last=True)
+    np.testing.assert_allclose(np.asarray(cons.sum(0)), 1.0, atol=1e-6)
+    # non-last sources are unchanged; the shortfall all lands on the last
+    np.testing.assert_allclose(np.asarray(cons[:-1]), np.asarray(plain[:-1]))
+    assert (np.asarray(cons[-1]) >= np.asarray(plain[-1]) - 1e-7).all()
+    # trailing-axis convention too
+    cons_t = wiener_mask(y.transpose(1, 2, 0), axis=-1, conserve_last=True)
+    np.testing.assert_allclose(np.asarray(cons_t.sum(-1)), 1.0, atol=1e-6)
