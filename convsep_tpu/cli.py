@@ -169,6 +169,7 @@ def _cmd_separate(args) -> int:
             ssep = ChunkedSeparator(
                 preset, params, chunk_segments=args.chunk_segments,
                 output_dtype="int16", input_dtype="int16",
+                complement_last=args.complement_last,
             )
         else:
             ssep = StereoSeparator(preset, params, output_dtype="int16", input_dtype="int16")
@@ -202,6 +203,7 @@ def _cmd_separate(args) -> int:
         sep = ChunkedSeparator(
             preset, params, chunk_segments=args.chunk_segments,
             output_dtype="int16", input_dtype="int16",
+            complement_last=args.complement_last,
         )
     else:
         sep = Separator(preset, params, output_dtype="int16", input_dtype="int16")
@@ -570,6 +572,7 @@ def main(argv=None) -> int:
     se.add_argument("--wiener-p", type=float, default=None, help="generalized Wiener exponent (default: preset, 1.0; 2.0 = classic Wiener)")
     se.add_argument("--chunked", action="store_true", help="stream the track in fixed-size chunks (overlapped transfers, track-length-independent compile)")
     se.add_argument("--chunk-segments", type=int, default=32, help="time-context windows per chunk for --chunked")
+    se.add_argument("--complement-last", action="store_true", help="with --chunked: conservative masks (sum to exactly 1) + derive the LAST stem host-side as mixture - sum(others), skipping 1/S of the downloads")
     se.add_argument("--unsafe-pickle", action="store_true", help="allow arbitrary (unrestricted) pickle loading; only for trusted checkpoint files")
     se.add_argument("--decoder-impl", default=None, choices=("bandconv", "band", "band_einsum", "fused", "conv", "conv_transpose", "band_pallas"), help="tied-decoder implementation override (default: preset; see docs/PALLAS_PROFILE.md)")
     se.set_defaults(fn=_cmd_separate)

@@ -290,6 +290,17 @@ def test_separate_chunked_flag(audio_dir, tmp_path):
         _, b = read_wav(os.path.join(chunked, name))
         diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
         assert diff.max() <= 1  # ±1 LSB on float rounding edges
+    # --complement-last: the non-last stems are byte-identical to direct
+    # chunked output; the last differs only by conservation + quantization
+    comp = str(tmp_path / "comp")
+    assert cli.main([
+        "separate", "--preset", "tinyikala", "--params", pkl, "-i", mix,
+        "-o", comp, "--chunked", "--chunk-segments", "2", "--complement-last",
+    ]) == 0
+    names = sorted(os.listdir(chunked))
+    _, a = read_wav(os.path.join(chunked, names[0]))
+    _, b = read_wav(os.path.join(comp, names[0]))
+    assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
 
 
 def test_evaluate_windowed_and_oracle(audio_dir, tmp_path, capsys):
