@@ -1,13 +1,53 @@
 #!/usr/bin/env python
-"""Benchmark entry point: prints ONE JSON line with the headline metric.
+"""Benchmark entry point: prints ONE COMPACT JSON line with the headline metric.
 
 RTF (audio-sec separated per wall-clock second per chip) for fused
 whole-track 4-stem DSD100-config separation. vs_baseline is RTF / 100
 (BASELINE.md operational target: >100x real time per chip → vs_baseline>1).
+
+Reporting contract (VERDICT r2 #1): the driver captures only a bounded tail
+of stdout, so the LAST stdout line must be a SHORT self-contained JSON
+object (metric/value/unit/vs_baseline + a few scalars). The full benchmark
+detail (preset matrix, train throughput, MFU, transfer probes) is written to
+BENCH_DETAIL.json at the repo root instead of stdout.
 """
 
 import json
+import os
 import sys
+
+# Keys hoisted from result["detail"] into the compact stdout line. Everything
+# else lives only in BENCH_DETAIL.json. Keep this list short: the driver's
+# tail capture is ~2 KB and the r2 bench lost its headline by exceeding it.
+_COMPACT_DETAIL_KEYS = (
+    "rtf_sustained_batched",
+    "rtf_e2e_streaming",
+    "rtf_e2e_streaming_single",
+    "rtf_e2e_streaming_single_complement",
+    "mfu_bf16",
+    "link_mb_s",
+)
+
+
+def compact_line(result: dict, max_len: int = 1500) -> str:
+    """The driver-facing stdout line: short, self-contained, parseable.
+
+    Hoists a fixed handful of numeric scalars out of result['detail'];
+    falls back to the bare metric/value/unit/vs_baseline quadruple if the
+    line would exceed ``max_len`` (the driver tail capture is ~2 KB)."""
+    compact = {k: v for k, v in result.items() if k != "detail"}
+    det = result.get("detail", {})
+    for k in _COMPACT_DETAIL_KEYS:
+        if k in det and isinstance(det[k], (int, float)):
+            compact[k] = det[k]
+    compact["detail_file"] = "BENCH_DETAIL.json"
+    line = json.dumps(compact)
+    if len(line) > max_len:
+        compact = {k: compact[k] for k in
+                   ("metric", "value", "unit", "vs_baseline", "detail_file")
+                   if k in compact}
+        line = json.dumps(compact)
+    return line
 
 
 def main() -> int:
@@ -30,7 +70,14 @@ def main() -> int:
         args.preset, seconds=args.seconds, runs=args.runs, matrix=True,
         time_budget_s=args.time_budget,
     )
-    print(json.dumps(result))
+
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1)
+        f.write("\n")
+
+    print(compact_line(result))
     return 0
 
 

@@ -36,6 +36,39 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def link_probe(mb: float = 8.0) -> dict:
+    """Measure the host↔device link IN-RUN (VERDICT r2 #2): tunnel-day
+    variance becomes data instead of an excuse. Returns MB/s for upload,
+    single-stream download, and 4-stream parallel download (the stem-fetch
+    configuration). Uses random float32 payloads (incompressible, in case
+    the transport compresses) and a dependent tiny fetch as the upload
+    barrier — the same barrier discipline as the RTF sections."""
+    import numpy as _np
+
+    n = int(mb * 1e6 / 4)
+    host = _np.random.default_rng(0).random(n).astype(_np.float32)
+    dev = jnp.asarray(host)
+    _np.asarray(dev[:8])  # warm the transfer path + any layout setup
+    t0 = time.perf_counter()
+    dev = jnp.asarray(host + _np.float32(1.0))
+    _np.asarray(dev[:8])
+    up = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _ = _np.asarray(dev)
+    down = time.perf_counter() - t0
+    dev4 = dev.reshape(4, -1)
+    _np.asarray(dev4[0, :8])
+    t0 = time.perf_counter()
+    _ = fetch_parallel(dev4)
+    down4 = time.perf_counter() - t0
+    return {
+        "payload_mb": mb,
+        "up_mb_s": round(mb / up, 1),
+        "down_mb_s": round(mb / down, 1),
+        "down4_mb_s": round(mb / down4, 1),
+    }
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -270,9 +303,14 @@ def run_benchmark(
     # e2e uses PCM16 both ways: wav-precision int16 upload (dequantized on
     # device) + int16 stems — the minimum bytes the tunnel must move
     _progress("headline: int16-ingest variant compile")
-    host_pcm16 = np.clip(host_audio * 32768.0, -32768, 32767).astype(np.int16)
+    from convsep_tpu.utils.pcm import quantize_pcm16_host
+
+    host_pcm16 = quantize_pcm16_host(host_audio)
     stems = fused(jnp.asarray(host_pcm16))
     np.asarray(stems[:, :8])  # compile the int16-ingest variant
+
+    _progress("headline: link probe")
+    probe = link_probe()
 
     _progress("headline: e2e timing runs")
     t_compute, t_fetch, t_e2e = [], [], []
@@ -320,40 +358,112 @@ def run_benchmark(
 
     # chunked single-track streaming (VERDICT r1 #2): fixed-size chunks with
     # an on-device OLA carry — a single track's uploads/compute/downloads
-    # overlap EACH OTHER, unlike the one-dispatch whole-track path above
+    # overlap EACH OTHER, unlike the one-dispatch whole-track path above.
+    # Plain and complement-fetch variants are timed in ALTERNATING passes
+    # (VERDICT r2 #2): in r2 they ran as separate back-to-back sections and
+    # the complement mode — which moves strictly fewer bytes — measured 2×
+    # slower, consistent with queued deallocation RPCs from the earlier
+    # section poisoning the later one. Interleaving makes the two modes
+    # share each rep's tunnel conditions so the comparison is fair.
     from convsep_tpu.separate.chunked import ChunkedSeparator
 
-    _progress("headline: chunked single-track streaming")
+    _progress("headline: chunked single-track streaming (plain/complement interleaved)")
+    chunked_bytes: dict[str, float] = {}
     try:
         cs = ChunkedSeparator(
             preset, params, chunk_segments=32, output_dtype="int16", input_dtype="int16"
         )
-        cs(host_pcm16)  # compile + warm
-        chunk_times = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            cs(host_pcm16)
-            chunk_times.append(time.perf_counter() - t0)
-        rtf_e2e_chunked = audio_sec / float(np.min(chunk_times))
-    except Exception as e:
-        rtf_e2e_chunked = f"failed: {type(e).__name__}"
-    # complement-fetch variant: conservative masks (sum to exactly 1) let
-    # the host derive the LAST stem as mixture − Σ others, skipping 1/S of
-    # the download bytes — the production mode for transfer-bound links
-    try:
         csc = ChunkedSeparator(
             preset, params, chunk_segments=32, output_dtype="int16",
             input_dtype="int16", complement_last=True,
         )
-        csc(host_pcm16)  # compile + warm
-        comp_times = []
+        cs(host_pcm16)  # compile + warm (plain program)
+        csc(host_pcm16)  # compile + warm (conserve-mask program)
+        import math as _math
+
+        from convsep_tpu.dsp import num_frames as _nframes
+
+        _nf = _nframes(Lb, preset.transform.hop_size)
+        _Fc = cfg.time_context * 32
+        _nc = max(1, _math.ceil(_nf / _Fc))
+        _span = _Fc * preset.transform.hop_size
+        _S = cfg.num_sources
+        chunked_bytes = {
+            "up_mb": round((_nc * _span + preset.transform.frame_size
+                            - preset.transform.hop_size) * 2 / 1e6, 2),
+            "down_mb_plain": round(_S * _nc * _span * 2 / 1e6, 2),
+            "down_mb_complement": round((_S - 1) * _nc * _span * 2 / 1e6, 2),
+            "n_chunks": _nc,
+        }
+        import gc as _gc
+
+        _gc.collect()  # settle deallocation RPCs before timing
+        chunk_times, comp_times = [], []
         for _ in range(5):
+            t0 = time.perf_counter()
+            cs(host_pcm16)
+            chunk_times.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
             csc(host_pcm16)
             comp_times.append(time.perf_counter() - t0)
+        rtf_e2e_chunked = audio_sec / float(np.min(chunk_times))
         rtf_e2e_chunked_comp = audio_sec / float(np.min(comp_times))
+        chunked_bytes["plain_median_s"] = round(float(np.median(chunk_times)), 3)
+        chunked_bytes["complement_median_s"] = round(float(np.median(comp_times)), 3)
     except Exception as e:
+        rtf_e2e_chunked = f"failed: {type(e).__name__}"
         rtf_e2e_chunked_comp = f"failed: {type(e).__name__}"
+
+    # online push/flush mode (VERDICT r2 #7): the one serving mode with no
+    # BENCH row until r3. Reports, per chunk_segments: steady-state RTF
+    # (full track pushed in capture-sized blocks, flush included),
+    # algorithmic latency (samples that must arrive before a chunk can
+    # emit), and measured per-chunk processing latency (wall time of the
+    # push that completes a chunk: upload + compute + synchronous fetch).
+    online_detail: dict[str, object] = {}
+    if matrix and time.monotonic() - _T0 <= time_budget_s:
+        from convsep_tpu.separate.online import OnlineSeparator
+
+        _progress("headline: online push/flush (cs=4/8/32)")
+        for cs_seg in (4, 8, 32):
+            try:
+                osep = OnlineSeparator(
+                    preset, params, chunk_segments=cs_seg,
+                    output_dtype="int16", input_dtype="int16",
+                )
+                osep.push(host_pcm16)
+                osep.flush()  # compile + warm all chunk variants
+                span = osep.chunk_samples
+                # steady-state: 16k-sample blocks (~0.37 s of capture)
+                block = 16384
+                steady = []
+                for _ in range(3):
+                    osep.reset()
+                    t0 = time.perf_counter()
+                    for p in range(0, len(host_pcm16), block):
+                        osep.push(host_pcm16[p : p + block])
+                    osep.flush()
+                    steady.append(time.perf_counter() - t0)
+                # per-chunk processing latency: prime past the first chunk,
+                # then time pushes that each complete exactly one chunk
+                osep.reset()
+                osep.push(host_pcm16[: osep.latency_samples])
+                lat = []
+                pos = osep.latency_samples
+                for _ in range(4):
+                    t0 = time.perf_counter()
+                    out = osep.push(host_pcm16[pos : pos + span])
+                    lat.append(time.perf_counter() - t0)
+                    pos += span
+                    if out.shape[-1] == 0:
+                        break
+                online_detail[f"cs{cs_seg}"] = {
+                    "rtf_steady": round(audio_sec / min(steady), 2),
+                    "latency_algo_s": round(osep.latency_samples / fs, 4),
+                    "latency_proc_ms": round(1e3 * float(np.median(lat)), 1),
+                }
+            except Exception as e:
+                online_detail[f"cs{cs_seg}"] = f"failed: {type(e).__name__}: {str(e)[:120]}"
 
     # sustained throughput: K tracks dispatched async (device queue keeps the
     # chip busy), one dependent tiny fetch per output at the end — per-call
@@ -503,6 +613,10 @@ def run_benchmark(
         if matrix
         else {}
     )
+    _progress("post link probe")
+    probe_post = link_probe()  # quantifies in-run tunnel drift
+    probe["post_down4_mb_s"] = probe_post["down4_mb_s"]
+    probe["post_up_mb_s"] = probe_post["up_mb_s"]
     _progress("done")
 
     # headline = the batched streaming path (production config #4); labeled
@@ -555,6 +669,12 @@ def run_benchmark(
             ),
             "stem_fetch_median_s": float(np.median(t_fetch)),
             "stems_dtype": "int16 (PCM16, quantized on device)",
+            # in-run tunnel bandwidth (VERDICT r2 #2): the scalar is the
+            # 4-stream parallel download MB/s — the stem-fetch floor
+            "link_mb_s": probe["down4_mb_s"],
+            "link_probe": probe,
+            "chunked_bytes": chunked_bytes,
+            "online": online_detail,
             "train": train_detail,
             "presets": presets_detail,
             "compile_plus_first_run_s": round(compile_s, 2),
