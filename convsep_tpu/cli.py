@@ -151,6 +151,10 @@ def _cmd_separate(args) -> int:
         preset = dataclasses.replace(
             preset, sep=dataclasses.replace(preset.sep, wiener_p=args.wiener_p)
         )
+    if args.complement_last and not args.chunked:
+        # the non-chunked separators download every stem; silently ignoring
+        # the flag would hand the user full downloads with no indication
+        raise ValueError("--complement-last requires --chunked")
     params = _load_params(args.params, preset, allow_unsafe=args.unsafe_pickle)
     fs, audio = read_wav(args.input)
     if fs != preset.transform.fs:

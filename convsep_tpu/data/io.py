@@ -48,8 +48,9 @@ def write_wav(path: str | os.PathLike, fs: int, audio: np.ndarray) -> None:
     quantized on device) is written as-is."""
     audio = np.asarray(audio)
     if audio.dtype != np.int16:
-        clipped = np.clip(audio.astype(np.float32), -1.0, 32767.0 / INT16_SCALE)
-        audio = (clipped * INT16_SCALE).astype(np.int16)
+        from convsep_tpu.utils.pcm import quantize_pcm16_host
+
+        audio = quantize_pcm16_host(audio)
     wavfile.write(os.fspath(path), int(fs), audio)
 
 

@@ -209,7 +209,9 @@ def separate_chunk(
     out = out * inv_norm_slice
     new_spill = ola[..., Fc * hop :]
     if output_dtype == "int16":
-        out = jnp.clip(out * 32768.0, -32768.0, 32767.0).astype(jnp.int16)
+        from convsep_tpu.utils.pcm import quantize_pcm16
+
+        out = quantize_pcm16(out)
     return out, new_spill
 
 
@@ -279,7 +281,9 @@ def separate_chunk_stereo(
     out = out * inv_norm_slice
     new_spill = ola[..., Fc * hop :]
     if output_dtype == "int16":
-        out = jnp.clip(out * 32768.0, -32768.0, 32767.0).astype(jnp.int16)
+        from convsep_tpu.utils.pcm import quantize_pcm16
+
+        out = quantize_pcm16(out)
     return out, new_spill
 
 
@@ -391,8 +395,17 @@ class ChunkedSeparator:
         # last stem's device→host stream and derive it on the host as
         # mixture − Σ(other stems) — exact under conservative masks, up to
         # iSTFT-roundtrip float error (~1e-7) and, in int16 mode, the other
-        # stems' quantization (≤(S−1)/2 LSB). Cuts download bytes by 1/S
-        # (1/2 for ikala-class presets) on transfer-bound links.
+        # stems' round-to-nearest quantization (≤(S−1)/2 LSB before the
+        # derived stem's own final rounding; utils/pcm.py). Cuts download
+        # bytes by 1/S (1/2 for ikala-class presets) on transfer-bound links.
+        if complement_last and m.num_sources < 2:
+            # S=1 is degenerate (the "derived last stem" would be the
+            # roundtripped mixture with zero fetched stems to subtract) and
+            # np.stack([]) downstream would raise an opaque ValueError
+            raise ValueError(
+                "complement_last requires a preset with >= 2 sources "
+                f"(got num_sources={m.num_sources})"
+            )
         self.complement_last = bool(complement_last)
         self.conserve_last = bool(conserve_last or complement_last)
         self._pool = ThreadPoolExecutor(
@@ -424,7 +437,9 @@ class ChunkedSeparator:
             rest *= 1.0 / 32768.0
         derived = mix - rest.sum(axis=0)
         if self.output_dtype == "int16":
-            return np.clip(derived * 32768.0, -32768, 32767).astype(np.int16)
+            from convsep_tpu.utils.pcm import quantize_pcm16_host
+
+            return quantize_pcm16_host(derived)
         return derived.astype(np.float32)
 
     # -- streaming -----------------------------------------------------------
@@ -465,9 +480,9 @@ class ChunkedSeparator:
         nc = max(1, math.ceil(nf / Fc))
         if self.input_dtype == "int16":
             if audio.dtype != np.int16:
-                audio = np.clip(
-                    np.asarray(audio, np.float32) * 32768.0, -32768, 32767
-                ).astype(np.int16)
+                from convsep_tpu.utils.pcm import quantize_pcm16_host
+
+                audio = quantize_pcm16_host(audio)
             dt = np.int16
         else:
             audio = np.asarray(audio, np.float32)

@@ -153,7 +153,9 @@ def separate_fused(
             est_spec = mask * spec[None]  # (S, nf, bins) complex
             stems = istft(est_spec, win, t.hop_size, length, nfft=t.nfft)
     if output_dtype == "int16":
-        return jnp.clip(stems * 32768.0, -32768.0, 32767.0).astype(jnp.int16)
+        from convsep_tpu.utils.pcm import quantize_pcm16
+
+        return quantize_pcm16(stems)
     return stems
 
 
@@ -188,9 +190,9 @@ class Separator:
         if self.input_dtype == "int16":
             if audio.dtype == np.int16:
                 return audio
-            return np.clip(
-                np.asarray(audio, np.float32) * 32768.0, -32768, 32767
-            ).astype(np.int16)
+            from convsep_tpu.utils.pcm import quantize_pcm16_host
+
+            return quantize_pcm16_host(audio)
         return np.asarray(audio, np.float32)
 
     def __call__(self, audio: np.ndarray, extra: np.ndarray | None = None) -> np.ndarray:

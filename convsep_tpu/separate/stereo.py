@@ -88,7 +88,9 @@ def separate_fused_stereo(
             nfft=t.nfft, precision=t.dft_precision,
         )
     if output_dtype == "int16":
-        return jnp.clip(stems * 32768.0, -32768.0, 32767.0).astype(jnp.int16)
+        from convsep_tpu.utils.pcm import quantize_pcm16
+
+        return quantize_pcm16(stems)
     return stems  # (S, 2, length)
 
 
@@ -125,9 +127,9 @@ class StereoSeparator:
         elif audio.shape[0] != 2:
             raise ValueError(f"expected a 2-channel axis, got shape {audio.shape}")
         if self.input_dtype == "int16" and audio.dtype != np.int16:
-            audio = np.clip(
-                np.asarray(audio, np.float32) * 32768.0, -32768, 32767
-            ).astype(np.int16)
+            from convsep_tpu.utils.pcm import quantize_pcm16_host
+
+            audio = quantize_pcm16_host(audio)
         elif self.input_dtype == "float32":
             audio = np.asarray(audio, np.float32)
         L = audio.shape[1]

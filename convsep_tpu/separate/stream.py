@@ -208,7 +208,9 @@ class StreamSeparator:
             if self._stereo and t.ndim != 2:
                 raise ValueError(f"stereo preset expects (2, L) tracks, got {t.shape}")
             if dt == np.int16 and t.dtype != np.int16:
-                t = np.clip(np.asarray(t, np.float32) * 32768.0, -32768, 32767).astype(np.int16)
+                from convsep_tpu.utils.pcm import quantize_pcm16_host
+
+                t = quantize_pcm16_host(t)
             stacked[i, ..., : t.shape[-1]] = t
         return stacked, lengths
 

@@ -26,6 +26,7 @@ from convsep_tpu.utils.flops import (  # noqa: E402
     model_flops_per_segment,
     pipeline_flops_per_track,
 )
+from convsep_tpu.utils.pcm import quantize_pcm16, quantize_pcm16_host  # noqa: E402
 from convsep_tpu.utils.profiling import trace, timeit_fetch, summarize_trace  # noqa: E402
 from convsep_tpu.utils.transfer import fetch_parallel  # noqa: E402
 
@@ -39,4 +40,6 @@ __all__ = [
     "mfu",
     "model_flops_per_segment",
     "pipeline_flops_per_track",
+    "quantize_pcm16",
+    "quantize_pcm16_host",
 ]

@@ -206,8 +206,12 @@ def test_conserve_last_stems_sum_to_mixture(rng):
         preset, params, chunk_segments=3, conserve_last=True
     )(audio)
     np.testing.assert_allclose(cons[:-1], plain[:-1], atol=1e-6)
+    cons_resid = np.abs(cons.sum(0) - audio).max()
     np.testing.assert_allclose(cons.sum(0), audio, atol=1e-4)
-    assert np.abs(plain.sum(0) - audio).max() > 1e-2  # plain masks leak
+    # plain masks leak wherever ReLU-dead bins leave TF energy unclaimed;
+    # assert RELATIVE to the conservative path's residual so the test does
+    # not depend on the dead-bin density of one particular random init
+    assert np.abs(plain.sum(0) - audio).max() > 10 * max(cons_resid, 1e-7)
 
 
 def test_complement_last_matches_conserve_direct(rng):
@@ -230,8 +234,11 @@ def test_complement_last_matches_conserve_direct(rng):
 
 
 def test_complement_last_int16_within_quantization(rng):
-    """int16 mode: the derived stem may differ from the direct fetch by the
-    other stems' quantization error, ≤ ceil((S−1)/2)+1 LSBs."""
+    """int16 mode: with round-to-nearest quantization (utils/pcm.py) the
+    derived stem differs from the direct fetch by the other stems'
+    quantization error, ≤(S−1)/2 LSB, plus the derived stem's own final
+    rounding (≤0.5 LSB) and iSTFT-roundtrip float error → ≤2 LSBs for
+    S=2."""
     preset = tiny_preset()
     params = _params(preset)
     L = int(0.9 * preset.transform.fs)
@@ -241,7 +248,18 @@ def test_complement_last_int16_within_quantization(rng):
     comp = ChunkedSeparator(preset, params, complement_last=True, **kw)(audio)
     assert comp.dtype == np.int16
     np.testing.assert_array_equal(comp[:-1], direct[:-1])
-    assert np.abs(comp[-1].astype(np.int32) - direct[-1].astype(np.int32)).max() <= 3
+    assert np.abs(comp[-1].astype(np.int32) - direct[-1].astype(np.int32)).max() <= 2
+
+
+def test_complement_last_rejects_single_source():
+    """S=1 complement fetch is degenerate (nothing to subtract) and used to
+    fail later with an opaque np.stack([]) ValueError (ADVICE r2)."""
+    preset = tiny_preset()
+    preset = dataclasses.replace(
+        preset, model=dataclasses.replace(preset.model, num_sources=1)
+    )
+    with pytest.raises(ValueError, match="complement_last requires"):
+        ChunkedSeparator(preset, _params(preset), complement_last=True)
 
 
 def test_complement_last_stereo(rng):

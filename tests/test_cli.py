@@ -301,6 +301,15 @@ def test_separate_chunked_flag(audio_dir, tmp_path):
     _, a = read_wav(os.path.join(chunked, names[0]))
     _, b = read_wav(os.path.join(comp, names[0]))
     assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
+    # --complement-last without --chunked errors instead of silently
+    # downloading every stem (ADVICE r2)
+    import pytest
+
+    with pytest.raises(ValueError, match="requires --chunked"):
+        cli.main([
+            "separate", "--preset", "tinyikala", "--params", pkl, "-i", mix,
+            "-o", str(tmp_path / "x"), "--complement-last",
+        ])
 
 
 def test_evaluate_windowed_and_oracle(audio_dir, tmp_path, capsys):
