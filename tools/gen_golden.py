@@ -1,19 +1,42 @@
+"""Regenerate the committed golden stems (tests/golden/*.npz).
+
+Run deliberately after an INTENDED behavior change; tests/test_golden.py
+pins every case. Always generates on the simulated CPU backend so goldens
+are reproducible in CI.
+
+    python tools/gen_golden.py            # all cases
+    python tools/gen_golden.py ikala_tiny_stems chunked_int16_tiny_stems
+"""
+
 import os
+import sys
+
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
 import jax
-jax.config.update("jax_platforms", "cpu")
-import numpy as np, jax.numpy as jnp
-import sys
-sys.path.insert(0, "/root/repo")
-from tests.test_separate import tiny_preset
-from convsep_tpu.data import sine_mixture
-from convsep_tpu.models import ConvSep
-from convsep_tpu.separate import Separator
 
-preset = tiny_preset("ikala")
-cfg = preset.model
-params = ConvSep(cfg).init(jax.random.PRNGKey(42), jnp.zeros((1, cfg.time_context, cfg.feat_size, 1)))
-stems_true, mix = sine_mixture(2, 8000, fs=8000, freqs=(220.0, 1400.0), seed=11)
-out = Separator(preset, params)(mix)
-np.savez_compressed("/root/repo/tests/golden/ikala_tiny_stems.npz", stems=out, mix=mix)
-print("golden written", out.shape, out.dtype, float(np.abs(out).mean()))
+jax.config.update("jax_platforms", "cpu")
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tests.golden_cases import CASES  # noqa: E402
+
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "golden"
+)
+
+
+def main(names):
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name in names or CASES:
+        data = CASES[name]()
+        path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+        np.savez_compressed(path, **data)
+        stems = data["stems"]
+        print(
+            f"golden written {path}: stems {stems.shape} {stems.dtype} "
+            f"mean|x|={float(np.abs(stems.astype(np.float64)).mean()):.5g}"
+        )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
