@@ -36,6 +36,21 @@ def _timed(fn) -> float:
     return time.perf_counter() - t0
 
 
+def _retry(fn, attempts: int = 3, sleep_s: float = 20.0):
+    """Retry a compile+warm thunk through transient remote-compile-server
+    failures ('response body closed before all bytes were read' killed the
+    whole r3 bench once; the identical request succeeded on retry). Only
+    used around compile phases — never around timed measurement loops."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — jax wraps RPC errors variously
+            if i == attempts - 1:
+                raise
+            _progress(f"compile attempt {i + 1} failed ({type(e).__name__}); retrying")
+            time.sleep(sleep_s)
+
+
 def link_probe(mb: float = 8.0) -> dict:
     """Measure the host↔device link IN-RUN (VERDICT r2 #2): tunnel-day
     variance becomes data instead of an excuse. Returns MB/s for upload,
@@ -296,8 +311,7 @@ def run_benchmark(
     # compile + warm up
     t0 = time.perf_counter()
     dev_audio = jnp.asarray(host_audio)
-    stems = fused(dev_audio)
-    np.asarray(stems[:, :8])
+    _retry(lambda: np.asarray(fused(dev_audio)[:, :8]))
     compile_s = time.perf_counter() - t0
 
     # e2e uses PCM16 both ways: wav-precision int16 upload (dequantized on
@@ -306,8 +320,8 @@ def run_benchmark(
     from convsep_tpu.utils.pcm import quantize_pcm16_host
 
     host_pcm16 = quantize_pcm16_host(host_audio)
-    stems = fused(jnp.asarray(host_pcm16))
-    np.asarray(stems[:, :8])  # compile the int16-ingest variant
+    # compile the int16-ingest variant
+    _retry(lambda: np.asarray(fused(jnp.asarray(host_pcm16))[:, :8]))
 
     _progress("headline: link probe")
     probe = link_probe()
@@ -344,7 +358,7 @@ def run_benchmark(
     _progress("headline: streaming e2e")
     ss = StreamSeparator(preset, params, output_dtype="int16", input_dtype="int16")
     ktracks = [host_pcm16 + np.int16(i % 3) for i in range(6)]
-    list(ss.stream(iter(ktracks[:2]), batch_size=2))  # warm (same shapes)
+    _retry(lambda: list(ss.stream(iter(ktracks[:2]), batch_size=2)))  # warm (same shapes)
     import gc
 
     gc.collect()  # settle deallocation RPCs before timing
@@ -495,8 +509,7 @@ def run_benchmark(
     def fused_batch(tracks):
         return separate_batch_scan(params, tracks, preset, Lb, None, "int16")
 
-    out_b = fused_batch(batch)
-    np.asarray(out_b[:, :, :8])
+    _retry(lambda: np.asarray(fused_batch(batch)[:, :, :8]))
     reps = 2
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -545,20 +558,32 @@ def run_benchmark(
         preset, model=_dc.replace(preset.model, compute_dtype="bfloat16")
     )
     try:
+        # min-of-reps per variant (NOT a 2-rep mean): the first post-compile
+        # dispatch can pay a ~10× executable-load/queue outlier, and a mean
+        # of two bakes it in — this is exactly what produced the phantom
+        # "bf16 5× slower than f32" rows in BENCH_r02/r03a. Traced in
+        # isolation (2026-08-19): bf16 6.95 ms/track vs f32 7.48 — parity,
+        # as expected when the precision-pinned DFT matmuls dominate.
         stacked8 = jnp.stack([jnp.asarray(host_audio + np.float32(i) * 1e-6) for i in range(8)])
         fbf = lambda b: _sb(params, b, bf_preset, Lb, None, "int16")  # noqa: E731
-        np.asarray(fbf(stacked8)[..., :8])
-        t0 = time.perf_counter()
-        for r in range(2):
-            np.asarray(fbf(stacked8 + jnp.float32(r * 1e-7))[..., :8])
-        rtf_bf16 = audio_sec / ((time.perf_counter() - t0) / 16)
+        _retry(lambda: np.asarray(fbf(stacked8)[..., :8]))
+        per_bf = min(
+            _timed(lambda r=r: np.asarray(
+                fbf(stacked8 + jnp.float32(r * 1e-7))[..., :8]
+            ))
+            for r in range(3)
+        ) / 8
+        rtf_bf16 = audio_sec / per_bf
         # fp32 vmap B=8 comparator under the same harness
         ff32 = lambda b: _sb(params, b, preset, Lb, None, "int16")  # noqa: E731
-        np.asarray(ff32(stacked8)[..., :8])
-        t0 = time.perf_counter()
-        for r in range(2):
-            np.asarray(ff32(stacked8 + jnp.float32(r * 1e-7))[..., :8])
-        rtf_f32_vmap8 = audio_sec / ((time.perf_counter() - t0) / 16)
+        _retry(lambda: np.asarray(ff32(stacked8)[..., :8]))
+        per_f32 = min(
+            _timed(lambda r=r: np.asarray(
+                ff32(stacked8 + jnp.float32(r * 1e-7))[..., :8]
+            ))
+            for r in range(3)
+        ) / 8
+        rtf_f32_vmap8 = audio_sec / per_f32
     except Exception as e:
         rtf_bf16 = f"failed: {type(e).__name__}"
         rtf_f32_vmap8 = None
