@@ -337,13 +337,36 @@ def istft_matmul(
 ) -> jnp.ndarray:
     """Inverse of stft_matmul: (…, nf, bins)×2 → (…, length). Matches
     dsp.istft semantics (window-power-normalized OLA, W//2 front drop).
-    `algorithm` as in :func:`stft_matmul`."""
+    `algorithm` as in :func:`stft_matmul`, plus "ct_pallas": the fused
+    factored-iDFT/window/OLA Mosaic kernel (dsp/pallas/ct_istft_kernel) —
+    on TPU, "auto" prefers it over the XLA factored chain whenever the
+    shape qualifies (the chain's ~6 HBM frame tensors are the 4096-pt
+    presets' MFU ceiling; VERDICT r3 #4)."""
     window = np.asarray(window, np.float64)
     win_len = len(window)
     if analysis_window is None:
         analysis_window = window
     if nfft is None:
         nfft = 2 * (int(re.shape[-1]) - 1)
+    if algorithm in ("ct_pallas", "auto"):
+        from convsep_tpu.dsp.pallas.ct_istft_kernel import (
+            ct_pallas_supported,
+            istft_ct_pallas,
+        )
+
+        explicit = algorithm == "ct_pallas"
+        # auto engages only where factored already wins (nfft >= 2048) AND
+        # a real TPU is the backend (interpret mode would be a de-opt)
+        if explicit or (
+            _use_factored(algorithm, int(nfft))
+            and ct_pallas_supported(int(nfft), win_len, int(hop))
+            and jax.default_backend() == "tpu"
+        ):
+            return istft_ct_pallas(
+                re, im, window, int(hop), int(length),
+                analysis_window=analysis_window, nfft=int(nfft),
+                precision=precision,
+            )
     expect = num_frames(length, hop)
     if int(re.shape[-2]) != expect:
         raise ValueError(

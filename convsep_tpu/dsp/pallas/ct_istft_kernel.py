@@ -1,0 +1,284 @@
+"""Fused factored (Cooley–Tukey) inverse-DFT + window + overlap-add kernel.
+
+VERDICT r3 #4: the XLA factored iSTFT chain (dsp/dft.py
+`_idft_frames_factored`) materializes ~6 HBM tensors of
+(B, S, nf, N1, N2) — 755 MB each for highres4096 vmap8 — plus the layout
+copies between the einsum stages; the 2026-08-19 trace puts ~25 ms of the
+78 ms batched program in that chain. This kernel runs the whole factored
+inverse per R-frame block in VMEM: HBM traffic drops to one read of the
+half-spectra + one write of the OLA'd hop blocks (~1 GB total for the
+same program).
+
+TPU-native structure (see docs/PALLAS_PROFILE.md addendum 10):
+
+* factorization nfft = A·B with A = 128 (lane width): bins k = k1 + A·k2
+  (k1 < 128 minor), so the (R, nfft/2) → (R, K2, 128) view splits the
+  lane axis exactly at lane-tile boundaries — a free relayout;
+* G = 128 // K2 frames are merged into the sublane axis and stage 1
+  (contract k2) becomes ONE (128, 128) @ (128, G·B) matmul against a
+  block-diagonal kron(I_G, E2) matrix — K2 is tiny (16 at 4096 points),
+  so a per-frame dot would waste the MXU; the block-diagonal form pays
+  (128/K2)× MACs on structural zeros but keeps every pass a full-width
+  matmul (measured faster than thin K=16 batched dots);
+* the twiddle e^{+2πi m2 k1 / nfft} binds stage-1 output (k1 rows,
+  (frame, m2) lanes) to stage 2 and is applied as ONE (128, G·B)
+  elementwise constant;
+* stage 2 (contract k1) is a (128, G·B)ᵀ·(128, 128) real-part matmul;
+* hermitian fold (×2 + DC / Nyquist rank-1 corrections), synthesis
+  window·(1/N), and the local OLA all happen in registers/VMEM;
+* output samples emerge indexed n = B·m1 + m2 — the kernel overlap-adds
+  in that PERMUTED layout (hop block h = m1 // (H/B) is a contiguous
+  lane slice) and emits (m2, m1')-tiled hop rows; the cheap unpermute of
+  the hop-summed output (190 MB, not the 755 MB frame tensor) runs in
+  XLA, fused into the spill fold.
+
+Reference parity: semantics identical to dsp/dft.istft_matmul
+(algorithm="factored") — window-power OLA normalization, W//2 front trim
+(transform.py [U] inverse semantics per SURVEY.md §2.1 #1).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from convsep_tpu.dsp.istft import ola_norm
+from convsep_tpu.dsp.stft import num_frames
+
+_A = 128  # N1: lane-width factor; bins k = k1 + A*k2
+_R = 128  # frames per grid block
+
+
+def ct_pallas_supported(nfft: int, win_len: int, hop: int) -> bool:
+    """Shapes this kernel handles; callers fall back to the XLA factored
+    path otherwise."""
+    if nfft != win_len or nfft % _A:
+        return False
+    half, B = nfft // 2, nfft // _A
+    if half % _A or 128 % (half // _A) or B < 2:
+        return False
+    # OLA addressing needs hop as a whole number of m1 lanes per block
+    return win_len % hop == 0 and hop % B == 0 and win_len // hop <= 9
+
+
+@lru_cache(maxsize=8)
+def _ct_pallas_consts(nfft: int, window_key) -> dict:
+    """Stage matrices + fused elementwise constants, float32 numpy."""
+    A = _A
+    B = nfft // A
+    half = nfft // 2
+    K2 = half // A
+    G = 128 // K2  # frames merged per block-diagonal stage-1 matmul
+    k2 = np.arange(K2)
+    m2 = np.arange(B)
+    k1 = np.arange(A)
+    m1 = np.arange(A)
+    ang2 = 2.0 * np.pi * np.outer(k2, m2) / B  # e^{+2πi m2 k2 / B}
+    e2c, e2s = np.cos(ang2), np.sin(ang2)
+    bd = lambda m: np.kron(np.eye(G), m)  # noqa: E731  (G·K2, G·B)
+    angt = 2.0 * np.pi * np.outer(k1, m2) / nfft  # twiddle e^{+2πi m2 k1/N}
+    tc = np.tile(np.cos(angt), (1, G))  # (A, G·B), lanes t = r'·B + m2
+    ts = np.tile(np.sin(angt), (1, G))
+    ang1 = 2.0 * np.pi * np.outer(k1, m1) / A  # e^{+2πi m1 k1 / A}
+    window = np.asarray(window_key, np.float64)
+    # window/N over output samples n = B·m1 + m2, laid out (t, m1)
+    w2 = (window.reshape(A, B).T / float(nfft))  # (B m2, A m1)
+    alt = np.where(m2 % 2 == 0, 1.0, -1.0)[:, None]  # (−1)^n = (−1)^{m2}
+    f32 = lambda x: np.ascontiguousarray(x, np.float32)  # noqa: E731
+    # frame-scalar broadcast over t = r'·B + m2 lanes: a (G·B, G) selection
+    # matmul (pltpu.repeat is tile-, not np.repeat-, semantics)
+    sel = np.kron(np.eye(G), np.ones((B, 1)))
+    return dict(
+        B=B, K2=K2, G=G,
+        bd_c=f32(bd(e2c)), bd_s=f32(bd(e2s)),
+        tc=f32(tc), ts=f32(ts),
+        c1=f32(np.cos(ang1)), s1=f32(np.sin(ang1)),
+        w2=f32(np.tile(w2, (G, 1))),  # (G·B, A)
+        alt=f32(np.tile(alt, (G, 1))),  # (G·B, 1)
+        sel=f32(sel),  # (G·B, G)
+    )
+
+
+def _dg0(x, y, prec):
+    """dot_general contracting dim 0 of both operands."""
+    return jax.lax.dot_general(
+        x, y, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+
+def _kernel(re_ref, im_ref, bdc_ref, bds_ref, tc_ref, ts_ref, c1_ref, s1_ref,
+            w2_ref, alt_ref, sel_ref, body_ref, spill_ref, acc,
+            *, R, H, nfft, prec_name):
+    """One (R frames) block: factored iDFT + window + local permuted OLA."""
+    # Mosaic lowers only DEFAULT/HIGHEST dot precisions; "high" (bf16x3)
+    # saturates to HIGHEST here — strictly MORE accurate than asked, and
+    # the stage matmuls are tiny VMEM-resident (128, 128)·(128, G·B) dots,
+    # so the extra MXU passes are noise next to the HBM read of the spectra
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+    }[prec_name]
+    A = _A
+    half = nfft // 2
+    B = nfft // A
+    K2 = half // A
+    G = 128 // K2
+    HB = H // B          # m1 lanes per hop block
+    k_ratio = nfft // H  # frames overlapping one hop row
+
+    acc[:] = jnp.zeros_like(acc)
+    xr_blk = re_ref[0]
+    xi_blk = im_ref[0]
+    for g in range(R // G):
+        # (G, K2, 128) view of G frames' half-spectra → (G·K2, 128): the
+        # lane split lands on lane-tile boundaries, the sublane merge is
+        # pure metadata
+        rows = slice(g * G, (g + 1) * G)
+        xr = xr_blk[rows, :half].reshape(G * K2, A)
+        xi = xi_blk[rows, :half].reshape(G * K2, A)
+        # stage 1 (contract k2, block-diagonal over the G frames):
+        # (G·K2, A)ᵀ·(G·K2, G·B) → (A k1, G·B t), t = r'·B + m2
+        ar = _dg0(xr, bdc_ref[:], prec) - _dg0(xi, bds_ref[:], prec)
+        ai = _dg0(xr, bds_ref[:], prec) + _dg0(xi, bdc_ref[:], prec)
+        # twiddle e^{+2πi m2 k1 / N} on (k1, t)
+        br = ar * tc_ref[:] - ai * ts_ref[:]
+        bi = ar * ts_ref[:] + ai * tc_ref[:]
+        # stage 2 (contract k1), real part only: (G·B t, A m1)
+        x = _dg0(br, c1_ref[:], prec) - _dg0(bi, s1_ref[:], prec)
+        # hermitian fold + DC/Nyquist corrections + window/N; frame scalars
+        # broadcast to the (t, m1) layout via the selection matmul
+        dc = jnp.dot(sel_ref[:], xr_blk[rows, 0:1],
+                     preferred_element_type=jnp.float32)      # (G·B, 1)
+        ny = jnp.dot(sel_ref[:], xr_blk[rows, half:half + 1],
+                     preferred_element_type=jnp.float32)
+        x = (2.0 * x - dc + ny * alt_ref[:]) * w2_ref[:]
+        # permuted local OLA: sample n = B·m1 + m2; hop block h is the
+        # contiguous m1-lane slice [h·HB, (h+1)·HB); rows split back to
+        # (G, B, HB) tiles and shift by h hop rows
+        for h in range(k_ratio):
+            chunk = x[:, h * HB:(h + 1) * HB].reshape(G, B, HB)
+            acc[g * G + h:g * G + h + G] += chunk
+    body_ref[0] = acc[:R]
+    spill_ref[0] = acc[R:R + 8]
+
+
+def _impl(re, im, consts, inv_norm, hop, length, win_len, nfft, precision,
+          interpret):
+    H = hop
+    k_ratio = win_len // H
+    N, nf, bins = re.shape
+    R = _R
+    n_blocks = -(-nf // R)
+    pad_f = n_blocks * R - nf
+    if pad_f:
+        re = jnp.pad(re, ((0, 0), (0, pad_f), (0, 0)))
+        im = jnp.pad(im, ((0, 0), (0, pad_f), (0, 0)))
+    B = consts["B"]
+    HB = H // B
+    cargs = [jnp.asarray(consts[k]) for k in
+             ("bd_c", "bd_s", "tc", "ts", "c1", "s1", "w2", "alt", "sel")]
+    cspecs = [pl.BlockSpec(c.shape, lambda b, j: (0,) * c.ndim,
+                           memory_space=pltpu.VMEM) for c in cargs]
+    body, spill = pl.pallas_call(
+        partial(_kernel, R=R, H=H, nfft=nfft, prec_name=precision),
+        grid=(N, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, R, bins), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, bins), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            *cspecs,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, R, B, HB), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, B, HB), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, n_blocks * R, B, HB), jnp.float32),
+            jax.ShapeDtypeStruct((N, n_blocks * 8, B, HB), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((R + 8, B, HB), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * n_blocks * R * (2 * 128 * 128 * consts["G"] * B
+                                          + 128 * consts["G"] * B * 128)
+            // consts["G"],
+            bytes_accessed=4 * N * n_blocks * R * (2 * bins + H),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(re, im, *cargs)
+    # XLA-side fixup on the SMALL hop-summed output: unpermute the
+    # (m2, m1') tiles to j = B·m1' + m2 sample order, fold spills, norm
+    body = body.swapaxes(-1, -2).reshape(N, n_blocks, R, H)
+    spill = spill.swapaxes(-1, -2).reshape(N, n_blocks, 8, H)
+    spill_rows = spill[:, :, : k_ratio - 1, :]
+    pad_spill = jnp.pad(spill_rows, ((0, 0), (1, 0), (0, 0), (0, 0)))[:, :-1]
+    body = body.at[:, :, : k_ratio - 1, :].add(pad_spill)
+    data = body.reshape(N, n_blocks * R * H)
+    tail = spill_rows[:, -1].reshape(N, -1)
+    data = jnp.concatenate([data, tail], axis=-1)
+    total = (nf - 1) * H + win_len
+    data = data[:, :total] * inv_norm
+    front = win_len // 2
+    return data[:, front:front + length].astype(jnp.float32)
+
+
+def istft_ct_pallas(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    window: np.ndarray,
+    hop: int,
+    length: int,
+    analysis_window: np.ndarray | None = None,
+    nfft: int | None = None,
+    precision: str = "highest",
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """(…, nf, bins)×2 → (…, length): drop-in for dft.istft_matmul
+    (factored algorithm) via the fused Pallas kernel. Leading axes
+    (sources / batch·sources) flatten onto the kernel grid."""
+    if interpret is None:
+        from convsep_tpu.dsp.pallas import interpret_default
+
+        interpret = interpret_default()
+    window = np.asarray(window, np.float64)
+    win_len = len(window)
+    if nfft is None:
+        nfft = 2 * (int(re.shape[-1]) - 1)
+    if not ct_pallas_supported(int(nfft), win_len, int(hop)):
+        raise ValueError(
+            f"istft_ct_pallas unsupported for nfft={nfft} win={win_len} "
+            f"hop={hop}; use dft.istft_matmul"
+        )
+    if analysis_window is None:
+        analysis_window = window
+    expect = num_frames(length, hop)
+    if int(re.shape[-2]) != expect:
+        raise ValueError(
+            f"re/im have {re.shape[-2]} frames but length={length}, "
+            f"hop={hop} implies {expect}"
+        )
+    lead = re.shape[:-2]
+    N = int(np.prod(lead)) if lead else 1
+    re3 = jnp.asarray(re, jnp.float32).reshape(N, expect, re.shape[-1])
+    im3 = jnp.asarray(im, jnp.float32).reshape(N, expect, im.shape[-1])
+    inv_norm = 1.0 / ola_norm(
+        window.astype(np.float32), np.asarray(analysis_window, np.float32),
+        int(hop), expect,
+    )
+    consts = _ct_pallas_consts(
+        int(nfft), tuple(np.asarray(window, np.float64).tolist())
+    )
+    out = _impl(re3, im3, consts, jnp.asarray(inv_norm), int(hop),
+                int(length), win_len, int(nfft), precision, interpret)
+    return out.reshape(*lead, length) if lead else out[0]
