@@ -52,7 +52,14 @@ from convsep_tpu.dsp.istft import ola_norm
 from convsep_tpu.dsp.stft import num_frames
 
 _A = 128  # N1: lane-width factor; bins k = k1 + A*k2
-_R = 128  # frames per grid block
+# Frames per grid block (lower bound; rounded up to a multiple of G per
+# shape in _impl). 64 — not 128 — is deliberate: at R=128 the 4096-pt
+# block's VMEM footprint (double-buffered 2×(R, 2049) spectra + outputs +
+# scratch + the unrolled g-loop's live (128, G·B) temporaries) measured
+# 17.22 MB under jax.vmap's pallas batching rule — over the 16 MB scope —
+# even though the single-track grid compiled; R=64 fits both with headroom
+# and measured FASTER (12.25 vs 12.94 ms/track vmap8, 2026-08-19).
+_R = 64
 
 
 def ct_pallas_supported(nfft: int, win_len: int, hop: int) -> bool:
@@ -175,7 +182,10 @@ def _impl(re, im, consts, inv_norm, hop, length, win_len, nfft, precision,
     H = hop
     k_ratio = win_len // H
     N, nf, bins = re.shape
-    R = _R
+    # R must be a whole number of G-frame matmul groups; G = 128/K2 reaches
+    # 128 at small nfft (K2=1), where bins are tiny and VMEM is a non-issue
+    G = consts["G"]
+    R = max(_R, G)
     n_blocks = -(-nf // R)
     pad_f = n_blocks * R - nf
     if pad_f:
