@@ -121,9 +121,17 @@ def _dg0(x, y, prec):
 
 
 def _kernel(re_ref, im_ref, bdc_ref, bds_ref, tc_ref, ts_ref, c1_ref, s1_ref,
-            w2_ref, alt_ref, sel_ref, body_ref, spill_ref, acc,
+            w2_ref, alt_ref, sel_ref, body_ref, acc, carry,
             *, R, H, nfft, prec_name):
-    """One (R frames) block: factored iDFT + window + local permuted OLA."""
+    """One (R frames) block: factored iDFT + window + local permuted OLA.
+
+    Spill folding happens IN-KERNEL via a grid-persistent `carry` scratch:
+    block j adds block j−1's spill rows (same track — `carry` resets at
+    j==0, so the track axis can shard/parallelize freely) into its first
+    hop rows before emitting. The XLA-side `.at[].add` fold this replaces
+    lowered to a slice_add fusion + an aliased dynamic-update-slice + two
+    pads over the 753 MB body tensor — ~7.9 ms per vmap8 highres4096
+    batch, ~11% of the program (trace 2026-08-19)."""
     # Mosaic lowers only DEFAULT/HIGHEST dot precisions; "high" (bf16x3)
     # saturates to HIGHEST here — strictly MORE accurate than asked, and
     # the stage matmuls are tiny VMEM-resident (128, 128)·(128, G·B) dots,
@@ -173,8 +181,18 @@ def _kernel(re_ref, im_ref, bdc_ref, bds_ref, tc_ref, ts_ref, c1_ref, s1_ref,
         for h in range(k_ratio):
             chunk = x[:, h * HB:(h + 1) * HB].reshape(G, B, HB)
             acc[g * G + h:g * G + h + G] += chunk
+    # fold the previous block's spill into this block's first hop rows
+    # (acc rows ≥ k_ratio−1 of the carry are exact zeros, so adding all 8
+    # is free); the read must precede the carry overwrite, and rows 0:8
+    # are disjoint from R:R+8 (R ≥ 64). The frame axis is padded by
+    # ≥ k_ratio−1 in _impl, so the final real frames' spill always lands
+    # inside padded body rows — no spill output exists at all.
+    @pl.when(pl.program_id(1) != 0)
+    def _fold_carry():
+        acc[0:8] += carry[:]
+
+    carry[:] = acc[R:R + 8]
     body_ref[0] = acc[:R]
-    spill_ref[0] = acc[R:R + 8]
 
 
 def _impl(re, im, consts, inv_norm, hop, length, win_len, nfft, precision,
@@ -186,7 +204,12 @@ def _impl(re, im, consts, inv_norm, hop, length, win_len, nfft, precision,
     # 128 at small nfft (K2=1), where bins are tiny and VMEM is a non-issue
     G = consts["G"]
     R = max(_R, G)
-    n_blocks = -(-nf // R)
+    # pad the frame axis by ≥ k_ratio−1 so every real frame's spill folds
+    # into a later block's body rows via the kernel carry — the body alone
+    # covers the full (nf−1)·H + win_len output and no spill tensor or
+    # XLA-side concat exists (a tiny-tail concat onto the 193 MB body made
+    # XLA sink the whole output assembly into a while loop, 2026-08-19)
+    n_blocks = -(-(nf + k_ratio - 1) // R)
     pad_f = n_blocks * R - nf
     if pad_f:
         re = jnp.pad(re, ((0, 0), (0, pad_f), (0, 0)))
@@ -197,7 +220,7 @@ def _impl(re, im, consts, inv_norm, hop, length, win_len, nfft, precision,
              ("bd_c", "bd_s", "tc", "ts", "c1", "s1", "w2", "alt", "sel")]
     cspecs = [pl.BlockSpec(c.shape, lambda b, j: (0,) * c.ndim,
                            memory_space=pltpu.VMEM) for c in cargs]
-    body, spill = pl.pallas_call(
+    body = pl.pallas_call(
         partial(_kernel, R=R, H=H, nfft=nfft, prec_name=precision),
         grid=(N, n_blocks),
         in_specs=[
@@ -207,17 +230,13 @@ def _impl(re, im, consts, inv_norm, hop, length, win_len, nfft, precision,
                          memory_space=pltpu.VMEM),
             *cspecs,
         ],
-        out_specs=(
-            pl.BlockSpec((1, R, B, HB), lambda b, j: (b, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, B, HB), lambda b, j: (b, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((N, n_blocks * R, B, HB), jnp.float32),
-            jax.ShapeDtypeStruct((N, n_blocks * 8, B, HB), jnp.float32),
-        ),
-        scratch_shapes=[pltpu.VMEM((R + 8, B, HB), jnp.float32)],
+        out_specs=pl.BlockSpec((1, R, B, HB), lambda b, j: (b, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, n_blocks * R, B, HB), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((R + 8, B, HB), jnp.float32),
+            pltpu.VMEM((8, B, HB), jnp.float32),  # cross-block spill carry
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * N * n_blocks * R * (2 * 128 * 128 * consts["G"] * B
                                           + 128 * consts["G"] * B * 128)
@@ -227,16 +246,11 @@ def _impl(re, im, consts, inv_norm, hop, length, win_len, nfft, precision,
         ),
         interpret=interpret,
     )(re, im, *cargs)
-    # XLA-side fixup on the SMALL hop-summed output: unpermute the
-    # (m2, m1') tiles to j = B·m1' + m2 sample order, fold spills, norm
-    body = body.swapaxes(-1, -2).reshape(N, n_blocks, R, H)
-    spill = spill.swapaxes(-1, -2).reshape(N, n_blocks, 8, H)
-    spill_rows = spill[:, :, : k_ratio - 1, :]
-    pad_spill = jnp.pad(spill_rows, ((0, 0), (1, 0), (0, 0), (0, 0)))[:, :-1]
-    body = body.at[:, :, : k_ratio - 1, :].add(pad_spill)
-    data = body.reshape(N, n_blocks * R * H)
-    tail = spill_rows[:, -1].reshape(N, -1)
-    data = jnp.concatenate([data, tail], axis=-1)
+    # XLA-side fixup on the hop-summed output: unpermute the (m2, m1')
+    # tiles to j = B·m1' + m2 sample order and norm — spill folding
+    # happened in-kernel and the frame padding guarantees the body covers
+    # the full output extent
+    data = body.swapaxes(-1, -2).reshape(N, n_blocks * R * H)
     total = (nf - 1) * H + win_len
     data = data[:, :total] * inv_norm
     front = win_len // 2

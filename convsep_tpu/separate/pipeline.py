@@ -159,6 +159,99 @@ def separate_fused(
     return stems
 
 
+@partial(jax.jit, static_argnames=("preset", "length", "apply_fn", "output_dtype"))
+def separate_fused_batch(
+    params,
+    tracks: jnp.ndarray,
+    extra: jnp.ndarray | None,
+    preset: Preset,
+    length: int,
+    apply_fn=None,
+    output_dtype: str = "float32",
+) -> jnp.ndarray:
+    """tracks (B, length) → stems (B, num_sources, length): the fused
+    pipeline with a NATIVE batch axis — same math as
+    ``vmap(separate_fused)`` (CPU-equality tested) but no pallas batching
+    rule and no vmap-driven layout choices.
+
+    Why this exists (trace 2026-08-19, highres4096 vmap8): under vmap XLA
+    kept intermediates source-major, so the program paid a while-loop
+    (track, source)-transpose assembly + an extra relayout of the iSTFT
+    output — ~11 ms of a 70 ms batch. With the batch axis native, the
+    iSTFT kernel grid is simply B·S tracks-major and the stems come out in
+    their storage order.
+
+    `extra`: (B, n_frames, F, C-1) per-track or (n_frames, F, C-1)
+    broadcast to every track. fft_impl="pallas" presets fall back to the
+    vmapped path in :func:`convsep_tpu.separate.stream.separate_batch`
+    (those kernels bake single-track shape assumptions).
+    """
+    from convsep_tpu.models.convsep import precompose_collapsed
+
+    t, m, tr = preset.transform, preset.model, preset.train
+    if t.fft_impl == "pallas":
+        raise ValueError("separate_fused_batch: use separate_batch for fft_impl='pallas'")
+    # inside the jit: the collapsed-encoder composition compiles as a fixed
+    # prefix of the program (one GEMM chain over the params), not an eager
+    # per-call dispatch storm
+    params = precompose_collapsed(params, m)
+    B = tracks.shape[0]
+    if tracks.dtype == jnp.int16:
+        tracks = tracks.astype(jnp.float32) * (1.0 / 32768.0)
+    win = _window(preset)
+    if t.fft_impl == "matmul":
+        re, im = stft_matmul(tracks, win, t.hop_size, t.nfft)  # (B, nf, bins)
+        nf = re.shape[1]
+        mag_raw = jnp.sqrt(re * re + im * im)
+    else:
+        spec = stft(tracks, win, t.hop_size, t.nfft)
+        nf = spec.shape[1]
+        mag_raw = jnp.abs(spec)
+    mag = scale_magnitude(mag_raw, t.iscale) * tr.mult_factor_in
+
+    if extra is None and t.multires:
+        from convsep_tpu.dsp.multires import multires_channels
+
+        extra = scale_magnitude(multires_channels(tracks, t), t.iscale) * tr.mult_factor_in
+    if extra is not None and extra.ndim == 3:
+        extra = jnp.broadcast_to(extra, (B, *extra.shape))
+
+    segs = segment_frames(mag, m.time_context)  # (B, nseg, T, F)
+    nseg = segs.shape[1]
+    if extra is not None:
+        ex = segment_frames(
+            extra.transpose(0, 3, 1, 2), m.time_context
+        )  # (B, C-1, nseg, T, F)
+        x = jnp.concatenate([segs[..., None], ex.transpose(0, 2, 3, 4, 1)], axis=-1)
+    else:
+        x = segs[..., None]
+    x = x.reshape(B * nseg, *x.shape[2:])  # (B·nseg, T, F, C)
+
+    if apply_fn is None:
+        y = ConvSep(m).apply(params, x, method=ConvSep.sources)  # (B·nseg, S, T, F)
+    else:
+        y = apply_fn(params, x).transpose(0, 3, 1, 2)
+    S = y.shape[1]
+    y = y.reshape(B, nseg, S, *y.shape[2:]).transpose(0, 2, 1, 3, 4)
+    y_frames = unsegment_frames(y, nf)  # (B, S, nf, F)
+
+    mask = wiener_mask(
+        y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=1
+    )  # (B, S, nf, bins)
+    if t.fft_impl == "matmul":
+        stems = istft_matmul(
+            mask * re[:, None], mask * im[:, None], win, t.hop_size, length,
+            nfft=t.nfft, precision=t.dft_precision,
+        )
+    else:
+        stems = istft(mask * spec[:, None], win, t.hop_size, length, nfft=t.nfft)
+    if output_dtype == "int16":
+        from convsep_tpu.utils.pcm import quantize_pcm16
+
+        return quantize_pcm16(stems)
+    return stems
+
+
 class Separator:
     """Whole-track separator with per-bucket compile caching.
 

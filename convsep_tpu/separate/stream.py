@@ -23,7 +23,6 @@ from convsep_tpu.distributed.mesh import batch_sharding, replicated
 from convsep_tpu.separate.pipeline import bucket_length, separate_fused
 
 
-@partial(jax.jit, static_argnames=("preset", "length", "apply_fn", "output_dtype"))
 def separate_batch(
     params,
     tracks: jnp.ndarray,
@@ -35,17 +34,46 @@ def separate_batch(
 ) -> jnp.ndarray:
     """(B, length) mixtures → (B, S, length) stems; one XLA program.
 
-    vmap of the fused single-track program over the batch axis — with the
-    batch sharded, XLA partitions every stage across the mesh.
+    Dispatches to :func:`separate_fused_batch` (native batch axis — no
+    vmap batching rule, no vmap-driven layout transposes; see its
+    docstring for the trace that motivated it). fft_impl="pallas" presets
+    take the vmapped path (:func:`separate_batch_vmap`), whose kernels
+    assume single-track shapes.
 
     `extra`: score-informed channels — (B, n_frames, F, C-1) per-track, or
-    (n_frames, F, C-1) broadcast to every track. MUST be passed here (a
-    traced argument, composed-encoder weights hoisted out of the vmap)
-    rather than closed over in a hand-rolled vmap: a closed-over concrete
-    array becomes a ~40 MB HLO literal AND the collapsed-encoder
-    composition replicates under the vmap — the bach10 vmap8 program
-    ground the remote compile server to a broken pipe twice that way
-    (2026-08-17/18).
+    (n_frames, F, C-1) broadcast to every track.
+    """
+    from convsep_tpu.separate.pipeline import separate_fused_batch
+
+    if preset.transform.fft_impl == "pallas":
+        return separate_batch_vmap(
+            params, tracks, preset, length, apply_fn, output_dtype, extra
+        )
+    return separate_fused_batch(
+        params, tracks, extra, preset, length, apply_fn, output_dtype
+    )
+
+
+@partial(jax.jit, static_argnames=("preset", "length", "apply_fn", "output_dtype"))
+def separate_batch_vmap(
+    params,
+    tracks: jnp.ndarray,
+    preset: Preset,
+    length: int,
+    apply_fn=None,
+    output_dtype: str = "float32",
+    extra: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """vmap-of-single-track variant of :func:`separate_batch` — kept for
+    fft_impl="pallas" presets and as the A/B reference for the native-batch
+    path.
+
+    `extra` MUST be passed as a traced argument (composed-encoder weights
+    hoisted out of the vmap) rather than closed over in a hand-rolled
+    vmap: a closed-over concrete array becomes a ~40 MB HLO literal AND
+    the collapsed-encoder composition replicates under the vmap — the
+    bach10 vmap8 program ground the remote compile server to a broken pipe
+    twice that way (2026-08-17/18).
     """
     from convsep_tpu.models.convsep import precompose_collapsed
 

@@ -303,3 +303,57 @@ def test_separate_many_with_score_extras():
             np.testing.assert_allclose(o, w, atol=1e-4)
     with pytest.raises(ValueError, match="extras"):
         StreamSeparator(preset, params).separate_many(tracks, extras=extras[:1])
+
+
+def test_separate_batch_native_matches_vmap(setup):
+    """The native-batch fused pipeline (separate_fused_batch) must equal
+    the vmap-of-single-track program — including a multires preset whose
+    extra channels are synthesized inside the program."""
+    from convsep_tpu.separate.pipeline import bucket_length
+    from convsep_tpu.separate.stream import separate_batch, separate_batch_vmap
+
+    preset, params = setup
+    tracks = _tracks(4)
+    Lb = max(bucket_length(len(t), preset) for t in tracks)
+    stacked = jnp.asarray(
+        np.stack([np.pad(t, (0, Lb - len(t))) for t in tracks]), jnp.float32
+    )
+    a = np.asarray(separate_batch(params, stacked, preset, Lb))
+    b = np.asarray(separate_batch_vmap(params, stacked, preset, Lb))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    # int16 output path too
+    ai = np.asarray(separate_batch(params, stacked, preset, Lb, None, "int16"))
+    bi = np.asarray(separate_batch_vmap(params, stacked, preset, Lb, None, "int16"))
+    assert ai.dtype == np.int16
+    np.testing.assert_array_equal(ai, bi)
+
+
+def test_separate_batch_native_multires():
+    """Native-batch path with in-program multires extra channels == vmap."""
+    import dataclasses
+
+    from tests.test_separate import tiny_preset
+    from convsep_tpu.configs.presets import TransformConfig
+    from convsep_tpu.separate.pipeline import bucket_length
+    from convsep_tpu.separate.stream import separate_batch, separate_batch_vmap
+
+    base = tiny_preset("multires4096")
+    t = TransformConfig(fs=8000, frame_size=256, hop_size=128, multires=(64, 128))
+    preset = dataclasses.replace(
+        base,
+        transform=t,
+        model=dataclasses.replace(base.model, feat_size=t.bins, channels_in=3),
+    )
+    cfg = preset.model
+    params = ConvSep(cfg).init(
+        jax.random.PRNGKey(2),
+        jnp.zeros((1, cfg.time_context, cfg.feat_size, cfg.channels_in)),
+    )
+    tracks = _tracks(3)
+    Lb = max(bucket_length(len(tr), preset) for tr in tracks)
+    stacked = jnp.asarray(
+        np.stack([np.pad(tr, (0, Lb - len(tr))) for tr in tracks]), jnp.float32
+    )
+    a = np.asarray(separate_batch(params, stacked, preset, Lb))
+    b = np.asarray(separate_batch_vmap(params, stacked, preset, Lb))
+    np.testing.assert_allclose(a, b, atol=1e-5)
