@@ -334,6 +334,7 @@ def istft_matmul(
     nfft: int | None = None,
     precision: str = "highest",
     algorithm: str = "auto",
+    output_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Inverse of stft_matmul: (…, nf, bins)×2 → (…, length). Matches
     dsp.istft semantics (window-power-normalized OLA, W//2 front drop).
@@ -341,13 +342,20 @@ def istft_matmul(
     factored-iDFT/window/OLA Mosaic kernel (dsp/pallas/ct_istft_kernel) —
     on TPU, "auto" prefers it over the XLA factored chain whenever the
     shape qualifies (the chain's ~6 HBM frame tensors are the 4096-pt
-    presets' MFU ceiling; VERDICT r3 #4)."""
+    presets' MFU ceiling; VERDICT r3 #4).
+
+    ``output_dtype="int16"`` returns PCM16 samples (utils.pcm math): the
+    ct_pallas kernel quantizes in its epilogue (halving its HBM writes and
+    the unpermute repack); other algorithms quantize after synthesis —
+    identical results either way."""
     window = np.asarray(window, np.float64)
     win_len = len(window)
     if analysis_window is None:
         analysis_window = window
     if nfft is None:
         nfft = 2 * (int(re.shape[-1]) - 1)
+    if output_dtype not in ("float32", "int16"):
+        raise ValueError(f"output_dtype must be float32|int16, got {output_dtype}")
     if algorithm in ("ct_pallas", "auto"):
         from convsep_tpu.dsp.pallas.ct_istft_kernel import (
             ct_pallas_supported,
@@ -365,8 +373,17 @@ def istft_matmul(
             return istft_ct_pallas(
                 re, im, window, int(hop), int(length),
                 analysis_window=analysis_window, nfft=int(nfft),
-                precision=precision,
+                precision=precision, output_dtype=output_dtype,
             )
+    if output_dtype == "int16":
+        from convsep_tpu.utils.pcm import quantize_pcm16
+
+        return quantize_pcm16(
+            istft_matmul(
+                re, im, window, hop, length, analysis_window=analysis_window,
+                nfft=nfft, precision=precision, algorithm=algorithm,
+            )
+        )
     expect = num_frames(length, hop)
     if int(re.shape[-2]) != expect:
         raise ValueError(

@@ -121,8 +121,8 @@ def _dg0(x, y, prec):
 
 
 def _kernel(re_ref, im_ref, bdc_ref, bds_ref, tc_ref, ts_ref, c1_ref, s1_ref,
-            w2_ref, alt_ref, sel_ref, body_ref, acc, carry,
-            *, R, H, nfft, prec_name):
+            w2_ref, alt_ref, sel_ref, norm_ref, body_ref, acc, carry,
+            *, R, H, nfft, prec_name, pcm16):
     """One (R frames) block: factored iDFT + window + local permuted OLA.
 
     Spill folding happens IN-KERNEL via a grid-persistent `carry` scratch:
@@ -192,11 +192,19 @@ def _kernel(re_ref, im_ref, bdc_ref, bds_ref, tc_ref, ts_ref, c1_ref, s1_ref,
         acc[0:8] += carry[:]
 
     carry[:] = acc[R:R + 8]
-    body_ref[0] = acc[:R]
+    # epilogue in VMEM: window-power OLA normalization (norm_ref is the
+    # inv-norm permuted to the kernel's (row, m2, m1') sample order) and —
+    # on the int16 serving path — PCM16 quantization, halving the kernel's
+    # HBM writes AND the downstream unpermute-repack bytes
+    out = acc[:R] * norm_ref[:]
+    if pcm16:
+        out = jnp.clip(jnp.round(out * 32768.0), -32768.0, 32767.0)
+        out = out.astype(jnp.int16)
+    body_ref[0] = out
 
 
 def _impl(re, im, consts, inv_norm, hop, length, win_len, nfft, precision,
-          interpret):
+          interpret, pcm16=False):
     H = hop
     k_ratio = win_len // H
     N, nf, bins = re.shape
@@ -216,12 +224,25 @@ def _impl(re, im, consts, inv_norm, hop, length, win_len, nfft, precision,
         im = jnp.pad(im, ((0, 0), (0, pad_f), (0, 0)))
     B = consts["B"]
     HB = H // B
+    # inv-norm permuted to the kernel's (hop row, m2, m1') sample order
+    # (sample n = row·H + B·m1' + m2): a host-side constant, multiplied in
+    # VMEM by the kernel epilogue
+    total = (nf - 1) * H + win_len
+    flat = np.zeros(n_blocks * R * H, np.float32)
+    flat[:total] = np.asarray(inv_norm, np.float32)
+    norm_perm = jnp.asarray(
+        np.ascontiguousarray(
+            flat.reshape(n_blocks * R, HB, B).transpose(0, 2, 1)
+        )
+    )
+    out_dt = jnp.int16 if pcm16 else jnp.float32
     cargs = [jnp.asarray(consts[k]) for k in
              ("bd_c", "bd_s", "tc", "ts", "c1", "s1", "w2", "alt", "sel")]
     cspecs = [pl.BlockSpec(c.shape, lambda b, j: (0,) * c.ndim,
                            memory_space=pltpu.VMEM) for c in cargs]
     body = pl.pallas_call(
-        partial(_kernel, R=R, H=H, nfft=nfft, prec_name=precision),
+        partial(_kernel, R=R, H=H, nfft=nfft, prec_name=precision,
+                pcm16=pcm16),
         grid=(N, n_blocks),
         in_specs=[
             pl.BlockSpec((1, R, bins), lambda b, j: (b, j, 0),
@@ -229,10 +250,12 @@ def _impl(re, im, consts, inv_norm, hop, length, win_len, nfft, precision,
             pl.BlockSpec((1, R, bins), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
             *cspecs,
+            pl.BlockSpec((R, B, HB), lambda b, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, R, B, HB), lambda b, j: (b, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, n_blocks * R, B, HB), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, n_blocks * R, B, HB), out_dt),
         scratch_shapes=[
             pltpu.VMEM((R + 8, B, HB), jnp.float32),
             pltpu.VMEM((8, B, HB), jnp.float32),  # cross-block spill carry
@@ -241,20 +264,18 @@ def _impl(re, im, consts, inv_norm, hop, length, win_len, nfft, precision,
             flops=2 * N * n_blocks * R * (2 * 128 * 128 * consts["G"] * B
                                           + 128 * consts["G"] * B * 128)
             // consts["G"],
-            bytes_accessed=4 * N * n_blocks * R * (2 * bins + H),
+            bytes_accessed=N * n_blocks * R * (4 * 2 * bins
+                                               + (2 if pcm16 else 4) * H),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(re, im, *cargs)
-    # XLA-side fixup on the hop-summed output: unpermute the (m2, m1')
-    # tiles to j = B·m1' + m2 sample order and norm — spill folding
-    # happened in-kernel and the frame padding guarantees the body covers
-    # the full output extent
+    )(re, im, *cargs, norm_perm)
+    # XLA-side fixup: unpermute the (m2, m1') tiles to j = B·m1' + m2
+    # sample order — norm (and PCM16 quantization) happened in-kernel, and
+    # the frame padding guarantees the body covers the full output extent
     data = body.swapaxes(-1, -2).reshape(N, n_blocks * R * H)
-    total = (nf - 1) * H + win_len
-    data = data[:, :total] * inv_norm
     front = win_len // 2
-    return data[:, front:front + length].astype(jnp.float32)
+    return data[:, front:front + length]
 
 
 def istft_ct_pallas(
@@ -267,10 +288,16 @@ def istft_ct_pallas(
     nfft: int | None = None,
     precision: str = "highest",
     interpret: bool | None = None,
+    output_dtype: str = "float32",
 ) -> jnp.ndarray:
     """(…, nf, bins)×2 → (…, length): drop-in for dft.istft_matmul
     (factored algorithm) via the fused Pallas kernel. Leading axes
-    (sources / batch·sources) flatten onto the kernel grid."""
+    (sources / batch·sources) flatten onto the kernel grid.
+
+    ``output_dtype="int16"`` applies PCM16 quantization (identical math to
+    utils.pcm.quantize_pcm16) inside the kernel epilogue: the body tensor
+    is written to HBM at half the bytes and the downstream unpermute
+    repack moves half the data."""
     if interpret is None:
         from convsep_tpu.dsp.pallas import interpret_default
 
@@ -303,6 +330,9 @@ def istft_ct_pallas(
     consts = _ct_pallas_consts(
         int(nfft), tuple(np.asarray(window, np.float64).tolist())
     )
-    out = _impl(re3, im3, consts, jnp.asarray(inv_norm), int(hop),
-                int(length), win_len, int(nfft), precision, interpret)
+    if output_dtype not in ("float32", "int16"):
+        raise ValueError(f"output_dtype must be float32|int16, got {output_dtype}")
+    out = _impl(re3, im3, consts, inv_norm, int(hop),
+                int(length), win_len, int(nfft), precision, interpret,
+                pcm16=output_dtype == "int16")
     return out.reshape(*lead, length) if lead else out[0]

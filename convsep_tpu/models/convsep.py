@@ -603,6 +603,45 @@ class _FcExpandWPad(nn.Module):
         return out + b3, W_pad
 
 
+class _FcExpandWPadNLast(nn.Module):
+    """Batch-LAST variant of :class:`_FcExpandWPad`: emits the expansion as
+    (W_pad, Tp·C2, S, B) — the GEMM computed kernel-side-first so the
+    batch lands on the minor axis.
+
+    Why: XLA's conv emitter for the composed bandconv decode
+    (EmitInputBatchInLanes) wants the batch dim minor; with the standard
+    batch-major expansion it relayouts the ~1.3 GB (vmap8 highres4096)
+    ReLU output twice before the conv (copy.111/copy.115, ~8.4 ms/batch,
+    trace 2026-08-19). Emitting batch-last makes the conv input layout the
+    natural one. Declares the IDENTICAL param tree as _FcExpandWPad /
+    nn.Dense — checkpoints are interchangeable.
+    """
+
+    config: ConvSepConfig
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, fc: jnp.ndarray) -> tuple[jnp.ndarray, int]:
+        cfg = self.config
+        S, J = cfg.num_sources, cfg.bottleneck
+        W, TpC = cfg.enc_freq, cfg.enc_time * cfg.conv2_filters
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (J, S * cfg.enc_flat)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (S * cfg.enc_flat,))
+        W_pad = -(-W // 8) * 8
+        dt = self.dtype
+        k4 = kernel.astype(dt).reshape(J, S, W, TpC).transpose(0, 2, 3, 1)
+        b4 = bias.astype(dt).reshape(S, W, TpC).transpose(1, 2, 0)
+        if W_pad != W:
+            k4 = jnp.pad(k4, ((0, 0), (0, W_pad - W), (0, 0), (0, 0)))
+            b4 = jnp.pad(b4, ((0, W_pad - W), (0, 0), (0, 0)))
+        out = jax.lax.dot_general(
+            k4, fc.astype(dt), (((0,), (1,)), ((), ()))
+        )  # (W_pad, Tp·C2, S, B)
+        return out + b4[..., None], W_pad
+
+
 class _CollapsedFc(nn.Module):
     """The whole encoder (conv1 → conv2 → flatten → fc) as ONE GEMM.
 
@@ -737,6 +776,72 @@ class ConvSep(nn.Module):
         # per-source expansion, fused into one dense: (B, S*enc_flat)
         S = cfg.num_sources
         wmajor = cfg.expand_order == "wmajor"
+        if wmajor and cfg.decoder_impl == "bandgemm":
+            # composed decode as ONE explicit GEMM + a ktaps-shift fold:
+            # the conv form's implicit GEMM has only T·M = out-channel
+            # lanes (120 here — starved; EmitInputBatchInLanes relayouts
+            # ~1.3 GB of input to compensate). Cat the taps into the GEMM's
+            # output dim instead (N_out = ktaps·T·M) and overlap-add the
+            # per-tap planes along W′ — the fold is ktaps-1 shifted adds
+            # XLA fuses, and every matmul runs full-width.
+            exp4, W_pad = _FcExpandWPad(cfg, dtype=dt, name="fc_expand")(fc)
+            exp4 = nn.relu(exp4)
+            TpC = cfg.enc_time * cfg.conv2_filters
+            KC, ktaps, T, M = band_freq_conv_kernel(
+                k2c, k1c, cfg.enc_time, cfg.conv1_freq_stride
+            )
+            kcat = KC[:, 0].transpose(1, 0, 2).reshape(TpC, ktaps * T * M)
+            g = jax.lax.dot_general(
+                exp4.reshape(B * S * W_pad, TpC), kcat,
+                (((1,), (0,)), ((), ())),
+            ).astype(dt)  # (B·S·W_pad, ktaps·T·M), fold in compute dtype
+            g = g.reshape(B * S, W_pad, ktaps, T * M)
+            Wo = W_pad + ktaps - 1
+            # conv parity: out[wo] = Σ_τ z[wo + τ − (ktaps−1)]·KC[τ] — tap τ
+            # of row w lands at wo = w + (ktaps−1) − τ. A sum of shifted
+            # pads fuses into ONE elementwise pass over g (.at[].add
+            # lowered to ktaps−1 full-size dynamic-update-slices, 41 ms at
+            # batch16 — measured 2026-08-19)
+            o = None
+            for tap in range(ktaps):
+                lo = ktaps - 1 - tap
+                shifted = jnp.pad(
+                    g[:, :, tap], ((0, 0), (lo, Wo - W_pad - lo), (0, 0))
+                )
+                o = shifted if o is None else o + shifted
+            d1 = _phase_merge_tail(
+                o.reshape(B * S, Wo, T, M),
+                cfg.conv1_freq_stride, C, cfg.conv1_freq,
+                cfg.enc_freq, cfg.feat_size,
+            )
+            return self._finish(d1, B, S, C, cfg)
+        if wmajor and cfg.decoder_impl == "bandconv_nlast":
+            # batch-LAST composed decode: expansion emits (W_pad, TpC, S, B)
+            # so the conv runs with dimension_numbers HWCN — the batch is
+            # already on the minor axis the emitter wants and the ~1.3 GB
+            # pre-conv relayouts disappear; the (source, batch) transpose
+            # back to batch-major happens on the 3.4× smaller conv OUTPUT
+            expT, W_pad = _FcExpandWPadNLast(cfg, dtype=dt, name="fc_expand")(fc)
+            expT = nn.relu(expT)
+            TpC = cfg.enc_time * cfg.conv2_filters
+            KC, ktaps, T, M = band_freq_conv_kernel(
+                k2c, k1c, cfg.enc_time, cfg.conv1_freq_stride
+            )
+            o = jax.lax.conv_general_dilated(
+                expT.reshape(W_pad, 1, TpC, S * B),
+                KC,
+                (1, 1),
+                [(ktaps - 1, ktaps - 1), (0, 0)],
+                dimension_numbers=("HWCN", "HWIO", "HWCN"),
+            )  # (Wo, 1, T·M, S·B)
+            Wo = W_pad + ktaps - 1
+            o = o.reshape(Wo, T, M, S, B).transpose(4, 3, 0, 1, 2)
+            d1 = _phase_merge_tail(
+                o.reshape(B * S, Wo, T, M),
+                cfg.conv1_freq_stride, C, cfg.conv1_freq,
+                cfg.enc_freq, cfg.feat_size,
+            )
+            return self._finish(d1, B, S, C, cfg)
         if wmajor and cfg.decoder_impl in ("band", "bandconv"):
             # 4-D expansion (B, S, W_pad, Tp·C2): the band fold below is a
             # free bitcast (see _FcExpandWPad), bypassing the 2-D dense

@@ -145,13 +145,15 @@ def separate_fused(
             y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=0
         )  # (S, nf, bins); real mask ⇒ mixture phase kept
         if t.fft_impl == "matmul":
-            stems = istft_matmul(
+            # PCM16 output quantizes inside the synthesis (the ct_pallas
+            # kernel epilogue on qualifying shapes — half the HBM writes)
+            return istft_matmul(
                 mask * re[None], mask * im[None], win, t.hop_size, length,
                 nfft=t.nfft, precision=t.dft_precision,
+                output_dtype=output_dtype,
             )
-        else:
-            est_spec = mask * spec[None]  # (S, nf, bins) complex
-            stems = istft(est_spec, win, t.hop_size, length, nfft=t.nfft)
+        est_spec = mask * spec[None]  # (S, nf, bins) complex
+        stems = istft(est_spec, win, t.hop_size, length, nfft=t.nfft)
     if output_dtype == "int16":
         from convsep_tpu.utils.pcm import quantize_pcm16
 
@@ -239,12 +241,11 @@ def separate_fused_batch(
         y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=1
     )  # (B, S, nf, bins)
     if t.fft_impl == "matmul":
-        stems = istft_matmul(
+        return istft_matmul(
             mask * re[:, None], mask * im[:, None], win, t.hop_size, length,
-            nfft=t.nfft, precision=t.dft_precision,
+            nfft=t.nfft, precision=t.dft_precision, output_dtype=output_dtype,
         )
-    else:
-        stems = istft(mask * spec[:, None], win, t.hop_size, length, nfft=t.nfft)
+    stems = istft(mask * spec[:, None], win, t.hop_size, length, nfft=t.nfft)
     if output_dtype == "int16":
         from convsep_tpu.utils.pcm import quantize_pcm16
 

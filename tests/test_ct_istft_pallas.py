@@ -130,3 +130,32 @@ def test_ct_pallas_highres4096(rng):
     want = np.asarray(istft_matmul(re, im, w, 1024, L))
     got = np.asarray(istft_ct_pallas(re, im, w, 1024, L, interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_ct_pallas_int16_epilogue(rng):
+    """In-kernel PCM16 quantization == quantize-after (identical math)."""
+    from convsep_tpu.utils.pcm import quantize_pcm16
+
+    w = sinebell(256)
+    L = 6000
+    x = (0.3 * rng.standard_normal(L)).astype(np.float32)
+    re, im = stft_matmul(x, w, 64, 256)
+    f32 = istft_matmul(re, im, w, 64, L, nfft=256, algorithm="ct_pallas")
+    want = np.asarray(quantize_pcm16(f32))
+    got = np.asarray(
+        istft_matmul(
+            re, im, w, 64, L, nfft=256, algorithm="ct_pallas",
+            output_dtype="int16",
+        )
+    )
+    assert got.dtype == np.int16
+    np.testing.assert_array_equal(got, want)
+    # the non-kernel algorithms quantize after synthesis via the same helper
+    got_xla = np.asarray(
+        istft_matmul(re, im, w, 64, L, nfft=256, algorithm="direct",
+                     output_dtype="int16")
+    )
+    ref_xla = np.asarray(
+        quantize_pcm16(istft_matmul(re, im, w, 64, L, nfft=256, algorithm="direct"))
+    )
+    np.testing.assert_array_equal(got_xla, ref_xla)

@@ -155,7 +155,8 @@ def test_decoder_impls_agree(rng):
         m_band = ConvSep(c)
         params = m_band.init(jax.random.PRNGKey(0), x)
         a = np.asarray(m_band.apply(params, x))
-        for impl in ("band", "band_einsum", "conv", "conv_transpose"):
+        for impl in ("band", "band_einsum", "conv", "conv_transpose",
+                     "bandconv_nlast", "bandgemm"):
             m = ConvSep(dataclasses.replace(c, decoder_impl=impl))
             b = np.asarray(m.apply(params, x))
             np.testing.assert_allclose(a, b, atol=1e-4, err_msg=f"{impl} s={stride}")
