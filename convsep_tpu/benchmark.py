@@ -233,6 +233,36 @@ def preset_matrix(
                     )
             except Exception as e:
                 out[name]["rtf_batched_vmap"] = f"failed: {type(e).__name__}: {str(e)[:160]}"
+        # batch-16 single dispatch (native batch axis, r3): the ~30 ms
+        # dispatch-RPC floor amortizes over 2× the tracks — highres4096
+        # measured 12.25 → 9.14 ms/track going 8 → 16 (2026-08-19). Mono
+        # presets only (the stereo program doubles the working set).
+        if not stereo and time.monotonic() - _T0 <= time_budget_s:
+            from convsep_tpu.separate.stream import separate_batch
+
+            try:
+                stacked16 = jnp.concatenate(
+                    [jnp.stack(tracks), jnp.stack(tracks) + jnp.float32(2e-6)]
+                )
+                fb16 = lambda b: separate_batch(  # noqa: E731
+                    params, b, preset, Lb, None, "int16", extra
+                )
+                np.asarray(fb16(stacked16)[..., :8])
+                per16 = min(
+                    _timed(lambda r=r: np.asarray(
+                        fb16(stacked16 + jnp.float32(r * 1e-7))[..., :8]
+                    ))
+                    for r in range(3)
+                ) / (2 * batch)
+                out[name]["rtf_batched_b16"] = round(audio_sec / per16, 2)
+                if per16 < best:
+                    best = per16
+                    out[name].update(
+                        compute_mfu(preset, Lb, per16, jax.devices()[0].device_kind)
+                    )
+                del stacked16
+            except Exception as e:
+                out[name]["rtf_batched_b16"] = f"failed: {type(e).__name__}: {str(e)[:160]}"
         # lax.map B=48 single dispatch — the HEADLINE methodology (dsd100's
         # 45xx× row is lax.map B=64), so ikala-class presets get an
         # apples-to-apples batched number (VERDICT r1 #1). Restricted to

@@ -578,7 +578,7 @@ def main(argv=None) -> int:
     se.add_argument("--chunk-segments", type=int, default=32, help="time-context windows per chunk for --chunked")
     se.add_argument("--complement-last", action="store_true", help="with --chunked: conservative masks (sum to exactly 1) + derive the LAST stem host-side as mixture - sum(others), skipping 1/S of the downloads")
     se.add_argument("--unsafe-pickle", action="store_true", help="allow arbitrary (unrestricted) pickle loading; only for trusted checkpoint files")
-    se.add_argument("--decoder-impl", default=None, choices=("bandconv", "bandconv_nlast", "bandgemm", "band", "band_einsum", "fused", "conv", "conv_transpose", "band_pallas"), help="tied-decoder implementation override (default: preset; see docs/PALLAS_PROFILE.md)")
+    se.add_argument("--decoder-impl", default=None, choices=("auto", "bandconv", "bandconv_pallas", "bandconv_nlast", "bandgemm", "band", "band_einsum", "fused", "conv", "conv_transpose", "band_pallas"), help="tied-decoder implementation override (default: preset; see docs/PALLAS_PROFILE.md)")
     se.set_defaults(fn=_cmd_separate)
 
     sb = sub.add_parser("separate-batch", help="stream a directory of wavs through batched separation")
@@ -589,7 +589,7 @@ def main(argv=None) -> int:
     sb.add_argument("--batch-size", type=int, default=4)
     sb.add_argument("--mesh-data", type=int, default=1)
     sb.add_argument("--unsafe-pickle", action="store_true", help="allow arbitrary (unrestricted) pickle loading; only for trusted checkpoint files")
-    sb.add_argument("--decoder-impl", default=None, choices=("bandconv", "bandconv_nlast", "bandgemm", "band", "band_einsum", "fused", "conv", "conv_transpose", "band_pallas"), help="tied-decoder implementation override (default: preset)")
+    sb.add_argument("--decoder-impl", default=None, choices=("auto", "bandconv", "bandconv_pallas", "bandconv_nlast", "bandgemm", "band", "band_einsum", "fused", "conv", "conv_transpose", "band_pallas"), help="tied-decoder implementation override (default: preset)")
     sb.add_argument("--score-dir", default=None, help="score-informed runs: dir with <track>/<source>.notes.txt per input wav")
     sb.add_argument("--score-filter", default="comb", choices=["comb", "nmf"], help="score channel filter (with --score-dir)")
     sb.set_defaults(fn=_cmd_separate_batch)
@@ -634,7 +634,7 @@ def main(argv=None) -> int:
     pr.add_argument("--seconds", type=float, default=30.0)
     pr.add_argument("--logdir", default="/tmp/convsep_trace")
     pr.add_argument("--top", type=int, default=20)
-    pr.add_argument("--decoder-impl", default=None, choices=("bandconv", "bandconv_nlast", "bandgemm", "band", "band_einsum", "fused", "conv", "conv_transpose", "band_pallas"))
+    pr.add_argument("--decoder-impl", default=None, choices=("auto", "bandconv", "bandconv_pallas", "bandconv_nlast", "bandgemm", "band", "band_einsum", "fused", "conv", "conv_transpose", "band_pallas"))
     pr.set_defaults(fn=_cmd_profile)
 
     be = sub.add_parser("bench", help="RTF benchmark (one JSON line)")

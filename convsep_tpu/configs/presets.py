@@ -187,6 +187,7 @@ def _highres4096() -> Preset:
             channels_in=1,
             num_sources=4,
             conv1_freq_stride=4,
+            decoder_impl="auto",
         ),
         train=TrainConfig(alpha=0.001, beta=0.01, beta_voc=0.03, vocals_idx=0, other_idx=3),
         sep=SepConfig(),
@@ -209,6 +210,7 @@ def _multires4096() -> Preset:
             channels_in=1 + len(t.multires),
             num_sources=4,
             conv1_freq_stride=4,
+            decoder_impl="auto",
         ),
         train=TrainConfig(alpha=0.001, beta=0.01, beta_voc=0.03, vocals_idx=0, other_idx=3),
         sep=SepConfig(),

@@ -474,6 +474,8 @@ def trainable_config(cfg: "ConvSepConfig") -> "ConvSepConfig":
     inference-sized dispatches) reverts to the conv chain."""
     if cfg.decoder_impl == "band_pallas":
         cfg = dataclasses.replace(cfg, decoder_impl="band")
+    if cfg.decoder_impl in ("bandconv_pallas", "auto"):
+        cfg = dataclasses.replace(cfg, decoder_impl="bandconv")
     if cfg.encoder_impl == "collapsed":
         cfg = dataclasses.replace(cfg, encoder_impl="conv")
     if cfg.expand_pad == "kernel":
@@ -601,6 +603,27 @@ class _FcExpandWPad(nn.Module):
             fc.astype(dt), k4, (((1,), (0,)), ((), ()))
         )  # (B, S, W_pad, Tp·C2)
         return out + b3, W_pad
+
+
+class _FcExpandParams(nn.Module):
+    """Raw fc_expand param declaration (identical tree to _FcExpandWPad /
+    nn.Dense) for decoders that consume the kernel/bias directly — the
+    fused Mosaic decode kernel streams the kernel from HBM itself."""
+
+    config: ConvSepConfig
+
+    @nn.compact
+    def __call__(self) -> tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.config
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (cfg.bottleneck, cfg.num_sources * cfg.enc_flat),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (cfg.num_sources * cfg.enc_flat,)
+        )
+        return kernel, bias
 
 
 class _FcExpandWPadNLast(nn.Module):
@@ -776,6 +799,52 @@ class ConvSep(nn.Module):
         # per-source expansion, fused into one dense: (B, S*enc_flat)
         S = cfg.num_sources
         wmajor = cfg.expand_order == "wmajor"
+        if cfg.decoder_impl == "auto":
+            # "auto": the fused Mosaic decode on TPU where its envelope
+            # holds (4096-pt preset geometry), the XLA bandconv chain
+            # otherwise (CPU interpret mode would crawl; dsd100/ikala
+            # geometry is outside the kernel's supported shapes)
+            from convsep_tpu.models.decoder_fused_pallas import (
+                fused_decode_supported,
+            )
+
+            ktaps_a = -(-cfg.conv1_freq // cfg.conv1_freq_stride)
+            cfg = dataclasses.replace(
+                cfg,
+                decoder_impl=(
+                    "bandconv_pallas"
+                    if wmajor
+                    and jax.default_backend() == "tpu"
+                    and fused_decode_supported(
+                        cfg.enc_time * cfg.conv2_filters,
+                        cfg.time_context * cfg.conv1_freq_stride * C,
+                        ktaps_a,
+                    )
+                    else "bandconv"
+                ),
+            )
+        if wmajor and cfg.decoder_impl == "bandconv_pallas":
+            # fused Mosaic decode: expansion GEMM → ReLU → composed band
+            # GEMM → tap fold in ONE VMEM pass; the ~GB per-source
+            # expansion never reaches HBM (decoder_fused_pallas.py)
+            from convsep_tpu.models.decoder_fused_pallas import (
+                band_freq_decode_pallas,
+            )
+
+            kexp, bexp = _FcExpandParams(cfg, name="fc_expand")()
+            TpC = cfg.enc_time * cfg.conv2_filters
+            KC, ktaps, T, M = band_freq_conv_kernel(
+                k2c, k1c, cfg.enc_time, cfg.conv1_freq_stride
+            )
+            o4, W_pad_k = band_freq_decode_pallas(
+                fc, kexp, bexp, KC, ktaps, S, cfg.enc_freq, TpC, dt
+            )  # (B, S, W_pad_k, T·M)
+            d1 = _phase_merge_tail(
+                o4.reshape(B * S, W_pad_k, T, M),
+                cfg.conv1_freq_stride, C, cfg.conv1_freq,
+                cfg.enc_freq, cfg.feat_size,
+            )
+            return self._finish(d1, B, S, C, cfg)
         if wmajor and cfg.decoder_impl == "bandgemm":
             # composed decode as ONE explicit GEMM + a ktaps-shift fold:
             # the conv form's implicit GEMM has only T·M = out-channel
