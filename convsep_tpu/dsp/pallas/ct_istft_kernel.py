@@ -75,13 +75,19 @@ def ct_pallas_supported(nfft: int, win_len: int, hop: int) -> bool:
 
 
 @lru_cache(maxsize=8)
-def _ct_pallas_consts(nfft: int, window_key) -> dict:
-    """Stage matrices + fused elementwise constants, float32 numpy."""
+def _ct_pallas_consts(nfft: int, window_key, P: int = 1) -> dict:
+    """Stage matrices + fused elementwise constants, float32 numpy.
+
+    `P` widens the block-diagonal group: G = P·(128/K2) frames per
+    stage-1 matmul. Measured on-chip (isolated 4096-pt kernel, N=32,
+    2026-08-19): P=1 46.7 ms, P=2 53.2 ms, P=4 VMEM-OOM — the extra
+    structural-zero MACs cost more than the instruction-count savings,
+    so P stays 1 (decision record)."""
     A = _A
     B = nfft // A
     half = nfft // 2
     K2 = half // A
-    G = 128 // K2  # frames merged per block-diagonal stage-1 matmul
+    G = P * (128 // K2)  # frames merged per block-diagonal stage-1 matmul
     k2 = np.arange(K2)
     m2 = np.arange(B)
     k1 = np.arange(A)
@@ -122,7 +128,7 @@ def _dg0(x, y, prec):
 
 def _kernel(re_ref, im_ref, bdc_ref, bds_ref, tc_ref, ts_ref, c1_ref, s1_ref,
             w2_ref, alt_ref, sel_ref, norm_ref, body_ref, acc, carry,
-            *, R, H, nfft, prec_name, pcm16):
+            *, R, H, nfft, G, prec_name, pcm16):
     """One (R frames) block: factored iDFT + window + local permuted OLA.
 
     Spill folding happens IN-KERNEL via a grid-persistent `carry` scratch:
@@ -145,7 +151,6 @@ def _kernel(re_ref, im_ref, bdc_ref, bds_ref, tc_ref, ts_ref, c1_ref, s1_ref,
     half = nfft // 2
     B = nfft // A
     K2 = half // A
-    G = 128 // K2
     HB = H // B          # m1 lanes per hop block
     k_ratio = nfft // H  # frames overlapping one hop row
 
@@ -241,7 +246,7 @@ def _impl(re, im, consts, inv_norm, hop, length, win_len, nfft, precision,
     cspecs = [pl.BlockSpec(c.shape, lambda b, j: (0,) * c.ndim,
                            memory_space=pltpu.VMEM) for c in cargs]
     body = pl.pallas_call(
-        partial(_kernel, R=R, H=H, nfft=nfft, prec_name=precision,
+        partial(_kernel, R=R, H=H, nfft=nfft, G=G, prec_name=precision,
                 pcm16=pcm16),
         grid=(N, n_blocks),
         in_specs=[
