@@ -66,7 +66,12 @@ def model_flops_per_segment(cfg) -> dict:
     fc = 2 * cfg.enc_flat * cfg.bottleneck
     fc_expand = 2 * cfg.bottleneck * S * cfg.enc_flat
     out = {"conv1": conv1, "conv2": conv2, "fc": fc, "fc_expand": fc_expand}
-    if cfg.decoder_impl == "bandconv":
+    # "auto"/"bandconv_pallas" execute the same bandconv composition (the
+    # fused Mosaic kernel's band GEMM is the composed conv's arithmetic,
+    # within ~7% lane padding) — counting them under the `band` branch
+    # would overstate highres4096's MFU 1.4× (measured 2026-08-19)
+    if cfg.decoder_impl in ("bandconv", "bandconv_pallas", "bandconv_nlast",
+                            "auto"):
         # ONE composed conv along W' (band_freq_conv_kernel): W_pad+ktaps-1
         # output positions × (T·stride·C) channels × (ktaps·Tp·N2) taps/pos
         W_pad = -(-Wp // 8) * 8  # _FcExpandWPad sublane alignment
