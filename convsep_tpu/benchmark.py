@@ -233,36 +233,44 @@ def preset_matrix(
                     )
             except Exception as e:
                 out[name]["rtf_batched_vmap"] = f"failed: {type(e).__name__}: {str(e)[:160]}"
-        # batch-16 single dispatch (native batch axis, r3): the ~30 ms
-        # dispatch-RPC floor amortizes over 2× the tracks — highres4096
-        # measured 12.25 → 9.14 ms/track going 8 → 16 (2026-08-19). Mono
-        # presets only (the stereo program doubles the working set).
-        if not stereo and time.monotonic() - _T0 <= time_budget_s:
+        # batch-16/32 single dispatch (native batch axis, r3): the ~30 ms
+        # dispatch-RPC floor amortizes over 2–4× the tracks — highres4096
+        # measured 12.25 → 9.14 → 8.22 ms/track going 8 → 16 → 32
+        # (2026-08-19, fused Mosaic decode at 32). Mono presets only (the
+        # stereo program doubles the working set).
+        if not stereo:
             from convsep_tpu.separate.stream import separate_batch
 
-            try:
-                stacked16 = jnp.concatenate(
-                    [jnp.stack(tracks), jnp.stack(tracks) + jnp.float32(2e-6)]
-                )
-                fb16 = lambda b: separate_batch(  # noqa: E731
-                    params, b, preset, Lb, None, "int16", extra
-                )
-                np.asarray(fb16(stacked16)[..., :8])
-                per16 = min(
-                    _timed(lambda r=r: np.asarray(
-                        fb16(stacked16 + jnp.float32(r * 1e-7))[..., :8]
-                    ))
-                    for r in range(3)
-                ) / (2 * batch)
-                out[name]["rtf_batched_b16"] = round(audio_sec / per16, 2)
-                if per16 < best:
-                    best = per16
-                    out[name].update(
-                        compute_mfu(preset, Lb, per16, jax.devices()[0].device_kind)
+            for nb in (16, 32):
+                if time.monotonic() - _T0 > time_budget_s:
+                    break
+                try:
+                    stackednb = jnp.concatenate(
+                        [jnp.stack(tracks) + jnp.float32(i * 2e-6)
+                         for i in range(nb // batch)]
                     )
-                del stacked16
-            except Exception as e:
-                out[name]["rtf_batched_b16"] = f"failed: {type(e).__name__}: {str(e)[:160]}"
+                    fbnb = lambda b: separate_batch(  # noqa: E731
+                        params, b, preset, Lb, None, "int16", extra
+                    )
+                    np.asarray(fbnb(stackednb)[..., :8])
+                    pernb = min(
+                        _timed(lambda r=r: np.asarray(
+                            fbnb(stackednb + jnp.float32(r * 1e-7))[..., :8]
+                        ))
+                        for r in range(3)
+                    ) / nb
+                    out[name][f"rtf_batched_b{nb}"] = round(audio_sec / pernb, 2)
+                    if pernb < best:
+                        best = pernb
+                        out[name].update(
+                            compute_mfu(preset, Lb, pernb,
+                                        jax.devices()[0].device_kind)
+                        )
+                    del stackednb
+                except Exception as e:
+                    out[name][f"rtf_batched_b{nb}"] = (
+                        f"failed: {type(e).__name__}: {str(e)[:160]}"
+                    )
         # lax.map B=48 single dispatch — the HEADLINE methodology (dsd100's
         # 45xx× row is lax.map B=64), so ikala-class presets get an
         # apples-to-apples batched number (VERDICT r1 #1). Restricted to
@@ -658,6 +666,41 @@ def run_benchmark(
                     "ms_per_step": round(dt_step * 1e3, 2),
                     "rtf_train": round(Bt * seg_sec / dt_step, 1),
                 }
+            # bf16 adadelta-state variant at the parity batch: the step is
+            # HBM-bound on the accumulator streams, so narrowed state is
+            # the one training knob left (measured 9.05 → 7.71 ms, loss
+            # trajectory ≤2e-5 rel over 200 steps, 2026-08-19)
+            import dataclasses as _dc
+
+            p16 = _dc.replace(
+                preset,
+                train=_dc.replace(
+                    preset.train, optimizer_state_dtype="bfloat16"
+                ),
+            )
+            state16, opt16 = create_train_state(p16, seed)
+            step16 = make_train_step(p16, opt16)
+            x = jnp.asarray(
+                rng_np.normal(
+                    size=(32, cfg.time_context, cfg.feat_size, cfg.channels_in)
+                ).astype(np.float32)
+            )
+            yt = jnp.asarray(
+                rng_np.normal(
+                    size=(32, cfg.num_sources, cfg.time_context, cfg.feat_size)
+                ).astype(np.float32)
+            )
+            state16, m = step16(state16, x, yt)
+            _ = float(m["loss"])
+            t0 = time.perf_counter()
+            for _ in range(20):
+                state16, m = step16(state16, x, yt)
+            _ = float(m["loss"])
+            dt_step = (time.perf_counter() - t0) / 20
+            train_detail["b32_state_bf16"] = {
+                "ms_per_step": round(dt_step * 1e3, 2),
+                "rtf_train": round(32 * seg_sec / dt_step, 1),
+            }
         except Exception as e:
             train_detail["error"] = f"{type(e).__name__}: {str(e)[:160]}"
 

@@ -61,6 +61,13 @@ def _cmd_train(args) -> int:
             preset,
             train=dataclasses.replace(preset.train, optimizer_impl=args.optimizer_impl),
         )
+    if args.optimizer_state_dtype:
+        preset = dataclasses.replace(
+            preset,
+            train=dataclasses.replace(
+                preset.train, optimizer_state_dtype=args.optimizer_state_dtype
+            ),
+        )
     if args.from_audio:
         from convsep_tpu.data.audio_dataset import AudioSegmentDataset, segment_samples
 
@@ -547,6 +554,10 @@ def main(argv=None) -> int:
     tr.add_argument(
         "--optimizer-impl", default=None, choices=["xla", "fused"],
         help="adadelta update path: generic optax or the single-pass fused Pallas kernel",
+    )
+    tr.add_argument(
+        "--optimizer-state-dtype", default=None, choices=["float32", "bfloat16"],
+        help="adadelta accumulator storage dtype (bfloat16 halves the optimizer's HBM traffic; update math stays float32)",
     )
     tr.add_argument("--grain", action="store_true", help="use the grain data loader")
     tr.add_argument(

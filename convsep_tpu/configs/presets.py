@@ -69,6 +69,13 @@ class TrainConfig:
     # single-pass Pallas adadelta kernel (train/fused_optim.py, a pinned
     # decision record). Identical math; requires optimizer="adadelta".
     optimizer_impl: str = "xla"
+    # Adadelta accumulator STORAGE dtype: "float32" (default — exact
+    # reference math) or "bfloat16". Update arithmetic always runs in
+    # float32; only the persisted accu/delta_accu slots narrow. The step
+    # is HBM-bound streaming those slots over the 265 MB fc_expand leaf,
+    # so bf16 state halves 4 of the step's HBM passes. Requires
+    # optimizer="adadelta" + optimizer_impl="xla".
+    optimizer_state_dtype: str = "float32"
     learning_rate: float = 1.0
     alpha: float = 0.001
     beta: float | None = None

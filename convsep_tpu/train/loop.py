@@ -53,9 +53,18 @@ def create_train_state(preset: Preset, rng: jax.Array | int = 0) -> tuple[TrainS
     model = ConvSep(cfg)
     x0 = jnp.zeros((1, cfg.time_context, cfg.feat_size, cfg.channels_in))
     params = model.init(rng, x0)
+    kw = {}
+    if preset.train.optimizer_state_dtype != "float32":
+        if preset.train.optimizer != "adadelta":
+            raise ValueError(
+                "optimizer_state_dtype is only supported for optimizer="
+                f"'adadelta', got {preset.train.optimizer!r}"
+            )
+        kw["state_dtype"] = preset.train.optimizer_state_dtype
     opt = make_optimizer(
         preset.train.optimizer,
         learning_rate=preset.train.learning_rate,
+        **kw,
     )
     return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt.init(params)), opt
 
@@ -165,6 +174,11 @@ def _preset_apply_fn(preset: Preset) -> Callable | None:
         )
     if preset.train.optimizer != "adadelta":
         raise ValueError("optimizer_impl='fused' requires optimizer='adadelta'")
+    if preset.train.optimizer_state_dtype != "float32":
+        raise ValueError(
+            "optimizer_impl='fused' requires optimizer_state_dtype='float32'"
+            " (the Pallas kernel streams the accumulators in place)"
+        )
     from convsep_tpu.train.fused_optim import fused_adadelta_apply
 
     return partial(fused_adadelta_apply, learning_rate=preset.train.learning_rate)

@@ -29,19 +29,41 @@ class AdadeltaState(NamedTuple):
 
 
 def lasagne_adadelta(
-    learning_rate: float = 1.0, rho: float = 0.95, eps: float = 1e-6
+    learning_rate: float = 1.0,
+    rho: float = 0.95,
+    eps: float = 1e-6,
+    state_dtype: str | jnp.dtype | None = None,
 ) -> optax.GradientTransformation:
-    """Adadelta with the reference's (Lasagne) formulation and defaults."""
+    """Adadelta with the reference's (Lasagne) formulation and defaults.
+
+    ``state_dtype`` stores the two accumulators in a narrower dtype
+    (e.g. ``"bfloat16"``) while all update arithmetic stays float32 —
+    the train step is HBM-bound on streaming accu/delta_accu over the
+    265 MB fc_expand leaf (BASELINE.md 2026-08-18), so halving the
+    accumulator bytes attacks the measured floor directly. None keeps
+    the exact-reference float32 state."""
+    sdt = jnp.dtype(state_dtype) if state_dtype is not None else None
+
+    def _store(x):
+        return x if sdt is None else x.astype(sdt)
 
     def init_fn(params):
-        zeros = jax.tree.map(jnp.zeros_like, params)
-        return AdadeltaState(accu=zeros, delta_accu=jax.tree.map(jnp.zeros_like, params))
+        zeros = lambda p: jnp.zeros(p.shape, sdt or p.dtype)  # noqa: E731
+        return AdadeltaState(
+            accu=jax.tree.map(zeros, params),
+            delta_accu=jax.tree.map(zeros, params),
+        )
 
     def update_fn(grads, state, params=None):
         del params
-        accu = jax.tree.map(lambda a, g: rho * a + (1 - rho) * g * g, state.accu, grads)
+        accu = jax.tree.map(
+            lambda a, g: rho * a.astype(g.dtype) + (1 - rho) * g * g,
+            state.accu,
+            grads,
+        )
         updates = jax.tree.map(
-            lambda g, d, a: g * jnp.sqrt(d + eps) / jnp.sqrt(a + eps),
+            lambda g, d, a: g * jnp.sqrt(d.astype(g.dtype) + eps)
+            / jnp.sqrt(a + eps),
             grads,
             state.delta_accu,
             accu,
@@ -53,10 +75,14 @@ def lasagne_adadelta(
         # the v5e, 2026-08-18)
         updates = jax.lax.optimization_barrier(updates)
         delta_accu = jax.tree.map(
-            lambda d, u: rho * d + (1 - rho) * u * u, state.delta_accu, updates
+            lambda d, u: _store(rho * d.astype(u.dtype) + (1 - rho) * u * u),
+            state.delta_accu,
+            updates,
         )
         scaled = jax.tree.map(lambda u: -learning_rate * u, updates)
-        return scaled, AdadeltaState(accu=accu, delta_accu=delta_accu)
+        return scaled, AdadeltaState(
+            accu=jax.tree.map(_store, accu), delta_accu=delta_accu
+        )
 
     return optax.GradientTransformation(init_fn, update_fn)
 

@@ -104,3 +104,81 @@ def test_adadelta_trains_a_quadratic(rng):
         u, state = opt.update(g, state)
         p = optax.apply_updates(p, u)
     assert float(loss_fn(p)) < 0.1 * l0
+
+
+def test_adadelta_bf16_state_tracks_oracle(rng):
+    """bfloat16 accumulator STORAGE (TrainConfig.optimizer_state_dtype):
+    update math stays float32, so a few steps stay close to the float32
+    oracle — within bf16's ~2^-8 relative storage error, far tighter than
+    the loose bound asserted here."""
+    p0 = rng.standard_normal(64).astype(np.float32)
+    grads = [rng.standard_normal(64).astype(np.float32) for _ in range(5)]
+    opt = lasagne_adadelta(state_dtype="bfloat16")
+    params = jnp.asarray(p0)
+    state = opt.init(params)
+    assert state.accu.dtype == jnp.bfloat16
+    assert state.delta_accu.dtype == jnp.bfloat16
+    for g in grads:
+        updates, state = opt.update(jnp.asarray(g), state)
+        assert updates.dtype == jnp.float32  # math dtype, not storage
+        assert state.accu.dtype == jnp.bfloat16
+        params = optax.apply_updates(params, updates)
+    oracle = _numpy_adadelta_steps(grads, p0)
+    np.testing.assert_allclose(np.asarray(params), oracle, rtol=0.05, atol=5e-3)
+    # and it is genuinely the storage that narrowed, not a no-op knob
+    assert np.abs(np.asarray(params) - oracle).max() > 0
+
+
+def test_adadelta_bf16_state_trains_a_quadratic(rng):
+    target = jnp.asarray(rng.standard_normal(4).astype(np.float32))
+    loss_fn = lambda p: jnp.sum((p - target) ** 2)  # noqa: E731
+    opt = lasagne_adadelta(state_dtype="bfloat16")
+    p = jnp.zeros(4)
+    state = opt.init(p)
+    l0 = float(loss_fn(p))
+    for _ in range(200):
+        g = jax.grad(loss_fn)(p)
+        u, state = opt.update(g, state)
+        p = optax.apply_updates(p, u)
+    assert float(loss_fn(p)) < 0.1 * l0
+
+
+def test_optimizer_state_dtype_preset_wiring():
+    """create_train_state honors TrainConfig.optimizer_state_dtype and the
+    fused Pallas impl refuses narrowed state."""
+    import dataclasses
+
+    import pytest
+
+    from convsep_tpu.configs.presets import TransformConfig, get_preset
+    from convsep_tpu.train.loop import _preset_apply_fn, create_train_state
+
+    p = get_preset("ikala")
+    t = TransformConfig(fs=8000, frame_size=256, hop_size=128)
+    model = dataclasses.replace(
+        p.model, time_context=10, feat_size=t.bins, conv1_filters=4,
+        conv1_freq=8, conv2_filters=4, bottleneck=16,
+    )
+    preset = dataclasses.replace(
+        p,
+        transform=t,
+        model=model,
+        train=dataclasses.replace(
+            p.train, optimizer_state_dtype="bfloat16", time_context=10
+        ),
+    )
+    state, opt = create_train_state(preset, 0)
+    leaves = jax.tree.leaves(state.opt_state)
+    assert leaves and all(l.dtype == jnp.bfloat16 for l in leaves)
+    fused = dataclasses.replace(
+        preset,
+        train=dataclasses.replace(preset.train, optimizer_impl="fused"),
+    )
+    with pytest.raises(ValueError, match="optimizer_state_dtype"):
+        _preset_apply_fn(fused)
+    non_ada = dataclasses.replace(
+        preset,
+        train=dataclasses.replace(preset.train, optimizer="adam"),
+    )
+    with pytest.raises(ValueError, match="adadelta"):
+        create_train_state(non_ada, 0)
