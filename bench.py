@@ -5,11 +5,15 @@ RTF (audio-sec separated per wall-clock second per chip) for fused
 whole-track 4-stem DSD100-config separation. vs_baseline is RTF / 100
 (BASELINE.md operational target: >100x real time per chip → vs_baseline>1).
 
-Reporting contract (VERDICT r2 #1): the driver captures only a bounded tail
-of stdout, so the LAST stdout line must be a SHORT self-contained JSON
-object (metric/value/unit/vs_baseline + a few scalars). The full benchmark
-detail (preset matrix, train throughput, MFU, transfer probes) is written to
-BENCH_DETAIL.json at the repo root instead of stdout.
+Reporting contract (VERDICT r2 #1 + r3 #1): the driver captures only a
+bounded tail of stdout, so the LAST stdout line must be a SHORT
+self-contained JSON object (metric/value/unit/vs_baseline + a few
+scalars). The full benchmark detail is written to BENCH_DETAIL.json at the
+repo root — INCREMENTALLY, after every section, so a crash in section 12
+of 12 cannot destroy sections 1–11 — and a top-level catch prints the
+best-known compact line (plus an "error" field) on ANY exit path. Two
+consecutive rounds lost their driver-recorded headline to late failures;
+this file's job is to make that structurally impossible.
 """
 
 import json
@@ -22,6 +26,7 @@ import sys
 _COMPACT_DETAIL_KEYS = (
     "rtf_sustained_batched",
     "rtf_e2e_streaming",
+    "rtf_e2e_streaming_complement",
     "rtf_e2e_streaming_single",
     "rtf_e2e_streaming_single_complement",
     "mfu_bf16",
@@ -44,9 +49,13 @@ def compact_line(result: dict, max_len: int = 1500) -> str:
     line = json.dumps(compact)
     if len(line) > max_len:
         compact = {k: compact[k] for k in
-                   ("metric", "value", "unit", "vs_baseline", "detail_file")
+                   ("metric", "value", "unit", "vs_baseline", "error",
+                    "detail_file")
                    if k in compact}
         line = json.dumps(compact)
+        if len(line) > max_len and "error" in compact:  # pathological error text
+            compact["error"] = compact["error"][:200]
+            line = json.dumps(compact)
     return line
 
 
@@ -61,22 +70,56 @@ def main() -> int:
                     help="matrix compile budget (raise for cache-warming runs)")
     args = ap.parse_args()
 
-    from convsep_tpu.utils import enable_compilation_cache
-
-    enable_compilation_cache()
-    from convsep_tpu.benchmark import run_benchmark
-
-    result = run_benchmark(
-        args.preset, seconds=args.seconds, runs=args.runs, matrix=True,
-        time_budget_s=args.time_budget,
-    )
-
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
-    with open(detail_path, "w") as f:
-        json.dump(result, f, indent=1)
-        f.write("\n")
+    last: dict = {}
 
+    def write_detail(result: dict, section: str) -> None:
+        """Persist the partial result after every section (atomic rename:
+        a crash mid-write must not corrupt the previous snapshot)."""
+        last.clear()
+        last.update(result)
+        # 'complete' only on the final write: a committed BENCH_DETAIL.json
+        # must come from a run that finished (tests/test_bench_contract.py)
+        status = {"final": "complete", "error": "failed"}.get(
+            section, f"in-progress: {section}"
+        )
+        snap = {**result, "bench_status": status}
+        tmp = detail_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f, indent=1)
+            f.write("\n")
+        os.replace(tmp, detail_path)
+
+    try:
+        from convsep_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()
+        from convsep_tpu.benchmark import run_benchmark
+
+        result = run_benchmark(
+            args.preset, seconds=args.seconds, runs=args.runs, matrix=True,
+            time_budget_s=args.time_budget, on_section=write_detail,
+        )
+    except BaseException as e:  # noqa: BLE001 — the compact line must print
+        # on ANY exit path (VERDICT r3 #1c); `last` holds every section that
+        # completed before the failure.
+        result = dict(last) if last else {
+            "metric": "RTF audio-sec/sec/chip (bench failed before first section)",
+            "value": None,
+            "unit": "x realtime",
+            "vs_baseline": None,
+        }
+        result["error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        try:
+            write_detail(result, "error")
+        except OSError:
+            pass
+        print(compact_line(result))
+        # a degraded-but-measured run is still a recorded run
+        return 0 if result.get("value") is not None else 1
+
+    write_detail(result, "final")
     print(compact_line(result))
     return 0
 

@@ -158,11 +158,15 @@ def _cmd_separate(args) -> int:
         preset = dataclasses.replace(
             preset, sep=dataclasses.replace(preset.sep, wiener_p=args.wiener_p)
         )
-    if args.complement_last and not args.chunked:
-        # the non-chunked separators download every stem; silently ignoring
-        # the flag would hand the user full downloads with no indication
-        raise ValueError("--complement-last requires --chunked")
+    if args.score_gate:
+        preset = dataclasses.replace(
+            preset, sep=dataclasses.replace(preset.sep, score_gate=args.score_gate)
+        )
     params = _load_params(args.params, preset, allow_unsafe=args.unsafe_pickle)
+    if args.online:
+        # push/flush live-streaming mode (SURVEY.md §1 L5 — VERDICT r3 #6:
+        # the one library capability that had no CLI verb)
+        return _separate_online(args, preset, params)
     fs, audio = read_wav(args.input)
     if fs != preset.transform.fs:
         raise ValueError(f"{args.input}: fs {fs} != preset fs {preset.transform.fs}")
@@ -183,7 +187,10 @@ def _cmd_separate(args) -> int:
                 complement_last=args.complement_last,
             )
         else:
-            ssep = StereoSeparator(preset, params, output_dtype="int16", input_dtype="int16")
+            ssep = StereoSeparator(
+                preset, params, output_dtype="int16", input_dtype="int16",
+                complement_last=args.complement_last,
+            )
         stems = ssep(audio)  # (S, L, 2)
         os.makedirs(args.out, exist_ok=True)
         for name, stem in zip(preset.sources, stems):
@@ -217,7 +224,10 @@ def _cmd_separate(args) -> int:
             complement_last=args.complement_last,
         )
     else:
-        sep = Separator(preset, params, output_dtype="int16", input_dtype="int16")
+        sep = Separator(
+            preset, params, output_dtype="int16", input_dtype="int16",
+            complement_last=args.complement_last,
+        )
     os.makedirs(args.out, exist_ok=True)
     if stereo:
         # per-channel separation through the same compiled program → stereo stems
@@ -234,6 +244,109 @@ def _cmd_separate(args) -> int:
         for name, stem in zip(preset.sources, stems):
             write_wav(os.path.join(args.out, f"{name}.wav"), fs, stem)
     print(f"wrote {len(preset.sources)} stems -> {args.out}")
+    return 0
+
+
+def _separate_online(args, preset, params) -> int:
+    """`convsep separate --online`: push/flush live-streaming separation.
+
+    Reads the input wav (or raw mono PCM16 from stdin with `-i -`) in
+    `--block-samples` blocks, pushes each block through OnlineSeparator,
+    writes the emitted stems, and prints steady-state RTF plus
+    algorithmic/processing latency as one JSON line (VERDICT r3 #6).
+    """
+    import time
+
+    import numpy as np
+
+    from convsep_tpu.data.io import read_wav, write_wav
+    from convsep_tpu.separate.online import OnlineSeparator
+
+    fs = preset.transform.fs
+    stereo = preset.model.decoder_reduce == "all"
+    stdin_mode = args.input == "-"
+    audio = None
+    if not stdin_mode:
+        wav_fs, audio = read_wav(args.input)
+        if wav_fs != fs:
+            raise ValueError(f"{args.input}: fs {wav_fs} != preset fs {fs}")
+        if stereo:
+            if audio.ndim != 2:
+                raise ValueError(f"preset {preset.name!r} needs a stereo input wav")
+            audio = audio.T[:2]  # (2, L)
+        elif audio.ndim == 2:
+            audio = audio.mean(axis=1)
+    elif stereo:
+        raise ValueError("stdin streaming is mono PCM16 only")
+
+    extra = None
+    if args.score:
+        if stdin_mode or stereo:
+            raise ValueError("--score needs a mono wav input")
+        from convsep_tpu.data.features import score_channels
+        from convsep_tpu.dsp.transform import TransformFFT
+        from convsep_tpu.score import parse_note_annotations
+
+        mag = TransformFFT(preset.transform).compute_file(np.asarray(audio, np.float32))
+        notes = [
+            parse_note_annotations(os.path.join(args.score, f"{s}.notes.txt"))
+            for s in preset.sources
+        ]
+        extra = score_channels(
+            mag, notes, preset, getattr(args, "score_filter", "comb")
+        ) * preset.train.mult_factor_in
+
+    osep = OnlineSeparator(
+        preset, params, chunk_segments=args.chunk_segments,
+        output_dtype="int16", input_dtype="int16",
+    )
+    block = int(args.block_samples)
+
+    def blocks():
+        if stdin_mode:
+            while True:
+                raw = sys.stdin.buffer.read(block * 2)  # int16 mono
+                if not raw:
+                    return
+                yield np.frombuffer(raw, np.int16)
+        else:
+            for p in range(0, audio.shape[-1], block):
+                yield audio[..., p : p + block]
+
+    outs, proc_ms = [], []
+    pushed = 0
+    first = True
+    t0 = time.perf_counter()
+    for blk in blocks():
+        t1 = time.perf_counter()
+        got = osep.push(blk, extra=extra if (first and extra is not None) else None)
+        dt = time.perf_counter() - t1
+        first = False
+        pushed += blk.shape[-1]
+        if got.shape[-1]:
+            proc_ms.append(dt * 1e3)  # a push that completed >=1 chunk
+            outs.append(got)
+    outs.append(osep.flush())
+    wall = time.perf_counter() - t0
+    stems = np.concatenate(outs, axis=-1)
+
+    os.makedirs(args.out, exist_ok=True)
+    for name, stem in zip(preset.sources, stems):
+        wav = stem.T if stereo else stem  # stereo stems (2, L) → (L, 2)
+        write_wav(os.path.join(args.out, f"{name}.wav"), fs, wav)
+    stats = {
+        "mode": "online",
+        "chunk_segments": args.chunk_segments,
+        "pushed_samples": pushed,
+        "rtf_steady": round(pushed / fs / wall, 2),
+        "latency_algo_s": round(osep.latency_samples / fs, 4),
+        "latency_proc_ms_median": (
+            round(float(np.median(proc_ms)), 1) if proc_ms else None
+        ),
+        "stems": len(preset.sources),
+        "out": args.out,
+    }
+    print(json.dumps(stats))
     return 0
 
 
@@ -305,7 +418,10 @@ def _cmd_separate_batch(args) -> int:
 
         extras = extras_gen()
 
-    ss = StreamSeparator(preset, params, mesh=mesh, output_dtype="int16", input_dtype="int16")
+    ss = StreamSeparator(
+        preset, params, mesh=mesh, output_dtype="int16", input_dtype="int16",
+        complement_last=getattr(args, "complement_last", False),
+    )
     done = 0
     it = iter(names)
     for batch in ss.stream(tracks(), batch_size=args.batch_size, extras=extras):
@@ -583,11 +699,17 @@ def main(argv=None) -> int:
         "--score-filter", default="comb", choices=["comb", "nmf"],
         help="score channel filter: harmonic-comb gating or score-constrained NMF refinement",
     )
+    se.add_argument(
+        "--score-gate", type=float, default=0.0,
+        help="score-gated resynthesis strength g in [0,1]: multiply each source's magnitude estimate by (1-g)+g*score_mask before the Wiener mask (score-informed presets with --score only)",
+    )
     se.add_argument("--stereo", action="store_true", help="separate channels independently → stereo stems (default: downmix to mono)")
     se.add_argument("--wiener-p", type=float, default=None, help="generalized Wiener exponent (default: preset, 1.0; 2.0 = classic Wiener)")
     se.add_argument("--chunked", action="store_true", help="stream the track in fixed-size chunks (overlapped transfers, track-length-independent compile)")
-    se.add_argument("--chunk-segments", type=int, default=32, help="time-context windows per chunk for --chunked")
-    se.add_argument("--complement-last", action="store_true", help="with --chunked: conservative masks (sum to exactly 1) + derive the LAST stem host-side as mixture - sum(others), skipping 1/S of the downloads")
+    se.add_argument("--online", action="store_true", help="push/flush live-streaming mode: read the input in --block-samples blocks, emit stems with bounded latency, print steady RTF + latency stats (use -i - for raw mono PCM16 on stdin)")
+    se.add_argument("--block-samples", type=int, default=16384, help="push block size for --online (capture granularity)")
+    se.add_argument("--chunk-segments", type=int, default=32, help="time-context windows per chunk for --chunked/--online (--online latency = chunk span + one window; lower = less latency, higher = more throughput)")
+    se.add_argument("--complement-last", action="store_true", help="conservative masks (sum to exactly 1) + derive the LAST stem host-side as mixture - sum(others), skipping 1/S of the downloads (whole-track, --chunked, and stereo paths)")
     se.add_argument("--unsafe-pickle", action="store_true", help="allow arbitrary (unrestricted) pickle loading; only for trusted checkpoint files")
     se.add_argument("--decoder-impl", default=None, choices=("auto", "bandconv", "bandconv_pallas", "bandconv_nlast", "bandgemm", "band", "band_einsum", "fused", "conv", "conv_transpose", "band_pallas"), help="tied-decoder implementation override (default: preset; see docs/PALLAS_PROFILE.md)")
     se.set_defaults(fn=_cmd_separate)
@@ -603,6 +725,7 @@ def main(argv=None) -> int:
     sb.add_argument("--decoder-impl", default=None, choices=("auto", "bandconv", "bandconv_pallas", "bandconv_nlast", "bandgemm", "band", "band_einsum", "fused", "conv", "conv_transpose", "band_pallas"), help="tied-decoder implementation override (default: preset)")
     sb.add_argument("--score-dir", default=None, help="score-informed runs: dir with <track>/<source>.notes.txt per input wav")
     sb.add_argument("--score-filter", default="comb", choices=["comb", "nmf"], help="score channel filter (with --score-dir)")
+    sb.add_argument("--complement-last", action="store_true", help="conservative masks + host-side derivation of the LAST stem: (S-1)/S of the download bytes")
     sb.set_defaults(fn=_cmd_separate_batch)
 
     sv = sub.add_parser("serve", help="watch a directory; separate wavs as they arrive")

@@ -119,6 +119,15 @@ class SepConfig:
     # pad segment counts up to the next multiple of this to bound the number
     # of distinct compiled shapes (SURVEY.md §7 hard-part #3)
     segment_bucket: int = 16
+    # Score-gated resynthesis (score-informed presets only; SURVEY.md §3.4
+    # "separation conditioned on the score masks at inference too"): each
+    # source's magnitude estimate is multiplied by (1−g) + g·mask_i before
+    # the Wiener normalization, where mask_i is recovered ON DEVICE from
+    # the score-filtered extra channels (extra_i = mask_i·|mix|·mult ⇒
+    # mask_i = extra_i / (|mix|·mult)). g=0 (default) = input-channel
+    # conditioning only (the r3 behavior); g=1 = hard score gating of the
+    # outputs. A quality lever for the bach10 oracle gap (VERDICT r3 #5).
+    score_gate: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

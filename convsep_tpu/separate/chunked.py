@@ -177,6 +177,9 @@ def separate_chunk(
         )
     y = ConvSep(m).apply(params, x, method=ConvSep.sources)  # (cs, S, T, F)
     y_frames = y.transpose(1, 0, 2, 3).reshape(S, Fc, m.feat_size)
+    from convsep_tpu.separate.pipeline import _score_gate
+
+    y_frames = _score_gate(y_frames, extra, mag, preset, src_axis=0)
     mask = wiener_mask(
         y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=0,
         conserve_last=conserve_last,
@@ -429,18 +432,14 @@ class ChunkedSeparator:
         mixture in padded STFT coordinates (the chunk program's input), so
         the slice [i·span, (i+1)·span) aligns sample-for-sample with the
         emitted chunk."""
-        mix = padded[..., i * span : i * span + span].astype(np.float32)
-        if self.input_dtype == "int16":
-            mix *= 1.0 / 32768.0
-        rest = others.astype(np.float32)
-        if self.output_dtype == "int16":
-            rest *= 1.0 / 32768.0
-        derived = mix - rest.sum(axis=0)
-        if self.output_dtype == "int16":
-            from convsep_tpu.utils.pcm import quantize_pcm16_host
+        from convsep_tpu.separate.complement import derive_last_stem
 
-            return quantize_pcm16_host(derived)
-        return derived.astype(np.float32)
+        return derive_last_stem(
+            others,
+            padded[..., i * span : i * span + span],
+            self.input_dtype,
+            self.output_dtype,
+        )
 
     # -- streaming -----------------------------------------------------------
     def __call__(self, audio: np.ndarray, extra=None) -> np.ndarray:

@@ -59,7 +59,38 @@ def bucket_length(length: int, preset: Preset) -> int:
     return max(unit, int(math.ceil(length / unit)) * unit)
 
 
-@partial(jax.jit, static_argnames=("preset", "length", "apply_fn", "output_dtype"))
+def _score_gate(y_frames, extra, mag, preset, src_axis: int):
+    """Score-gated resynthesis (SepConfig.score_gate; SURVEY.md §3.4).
+
+    Multiplies each source's magnitude estimate by (1−g) + g·mask_i before
+    the Wiener normalization. mask_i is recovered ON DEVICE from the
+    score-filtered extra channels: extra_i = mask_i·|mix|·mult (the host
+    computes them from the same STFT), so extra_i / (|mix|·mult) ≈ mask_i
+    up to STFT float noise. No-op unless the preset is score-informed
+    (channels_in = 1+S, no multires), lin iscale, and score_gate > 0.
+
+    `src_axis`: 0 → y (S, nf, F), extra (nf, F, S), mag (nf, F);
+                1 → y (B, S, nf, F), extra (B, nf, F, S), mag (B, nf, F).
+    """
+    g = preset.sep.score_gate
+    m, t = preset.model, preset.transform
+    if (
+        g <= 0
+        or extra is None
+        or t.multires
+        or t.iscale != "lin"
+        or m.channels_in != 1 + m.num_sources
+    ):
+        return y_frames
+    if src_axis == 0:
+        gate = jnp.moveaxis(extra, -1, 0) / (mag[None] + 1e-6)
+    else:
+        gate = jnp.moveaxis(extra, -1, 1) / (mag[:, None] + 1e-6)
+    gate = jnp.clip(gate, 0.0, 1.0)
+    return y_frames * ((1.0 - g) + g * gate)
+
+
+@partial(jax.jit, static_argnames=("preset", "length", "apply_fn", "output_dtype", "conserve_last"))
 def separate_fused(
     params,
     audio: jnp.ndarray,
@@ -68,6 +99,7 @@ def separate_fused(
     length: int,
     apply_fn=None,
     output_dtype: str = "float32",
+    conserve_last: bool = False,
 ) -> jnp.ndarray:
     """audio (length,) → stems (num_sources, length), one XLA program.
 
@@ -77,6 +109,10 @@ def separate_fused(
     `output_dtype="int16"` converts stems to PCM16 ON DEVICE — exactly the
     wav output precision, at half the device→host bytes (the host link is
     the bottleneck on tunneled runtimes).
+    `conserve_last`: conservative Wiener masks (masks sum to EXACTLY 1 —
+    unclaimed TF energy goes to the LAST stem), so Σ stems equals the
+    iSTFT∘STFT-roundtripped mixture; enables host-side complement-fetch
+    of the last stem (VERDICT r3 #4 — previously chunked-only).
     """
     t, m, tr = preset.transform, preset.model, preset.train
     if audio.dtype == jnp.int16:
@@ -131,7 +167,10 @@ def separate_fused(
     # free reshape to (S, nf, F) — replaces r1's materialized lane
     # transposes (reshape.80, 1.4 ms/track in the device trace)
     y_frames = unsegment_frames(y.transpose(1, 0, 2, 3), nf)  # (S, nf, F)
+    y_frames = _score_gate(y_frames, extra, mag, preset, src_axis=0)
     if t.fft_impl == "pallas":
+        if conserve_last:
+            raise ValueError("conserve_last is not supported by the pallas mask kernel")
         # fused mask+apply (never materializes per-source masks) + fused
         # inverse-DFT/OLA kernels, sources on the batch grid axis
         from convsep_tpu.dsp.pallas import istft_pallas, wiener_apply_pallas
@@ -142,7 +181,8 @@ def separate_fused(
         stems = istft_pallas(est_re, est_im, win, t.hop_size, length, nfft=t.nfft)
     else:
         mask = wiener_mask(
-            y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=0
+            y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=0,
+            conserve_last=conserve_last,
         )  # (S, nf, bins); real mask ⇒ mixture phase kept
         if t.fft_impl == "matmul":
             # PCM16 output quantizes inside the synthesis (the ct_pallas
@@ -161,7 +201,7 @@ def separate_fused(
     return stems
 
 
-@partial(jax.jit, static_argnames=("preset", "length", "apply_fn", "output_dtype"))
+@partial(jax.jit, static_argnames=("preset", "length", "apply_fn", "output_dtype", "conserve_last"))
 def separate_fused_batch(
     params,
     tracks: jnp.ndarray,
@@ -170,6 +210,7 @@ def separate_fused_batch(
     length: int,
     apply_fn=None,
     output_dtype: str = "float32",
+    conserve_last: bool = False,
 ) -> jnp.ndarray:
     """tracks (B, length) → stems (B, num_sources, length): the fused
     pipeline with a NATIVE batch axis — same math as
@@ -236,9 +277,11 @@ def separate_fused_batch(
     S = y.shape[1]
     y = y.reshape(B, nseg, S, *y.shape[2:]).transpose(0, 2, 1, 3, 4)
     y_frames = unsegment_frames(y, nf)  # (B, S, nf, F)
+    y_frames = _score_gate(y_frames, extra, mag, preset, src_axis=1)
 
     mask = wiener_mask(
-        y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=1
+        y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=1,
+        conserve_last=conserve_last,
     )  # (B, S, nf, bins)
     if t.fft_impl == "matmul":
         return istft_matmul(
@@ -267,6 +310,8 @@ class Separator:
         apply_fn=None,
         output_dtype: str = "float32",
         input_dtype: str = "float32",
+        conserve_last: bool = False,
+        complement_last: bool = False,
     ):
         self.preset = preset
         self.params = params
@@ -277,6 +322,19 @@ class Separator:
             raise ValueError(f"input_dtype must be float32|int16, got {input_dtype}")
         self.output_dtype = output_dtype
         self.input_dtype = input_dtype
+        # complement_last (implies conserve_last): conservative Wiener masks
+        # on device (Σ masks = 1) + the last stem derived HOST-side as
+        # mixture − Σ others — (S−1)/S of the plain download bytes
+        # (separate/complement.py; VERDICT r3 #4: previously chunked-only)
+        if complement_last and preset.model.num_sources < 2:
+            raise ValueError(
+                "complement_last requires a preset with >= 2 sources "
+                f"(got num_sources={preset.model.num_sources})"
+            )
+        if (complement_last or conserve_last) and preset.transform.fft_impl == "pallas":
+            raise ValueError("conserve_last is not supported by the pallas mask kernel")
+        self.complement_last = bool(complement_last)
+        self.conserve_last = bool(conserve_last or complement_last)
 
     def _prepare(self, audio: np.ndarray) -> np.ndarray:
         """Cast per input_dtype: int16 halves the upload; PCM16 wavs
@@ -312,9 +370,20 @@ class Separator:
             Lb,
             self.apply_fn,
             self.output_dtype,
+            self.conserve_last,
         )
         from convsep_tpu.utils.transfer import fetch_parallel
 
+        if self.complement_last:
+            # fetch S−1 stems; the last is mixture − Σ others on the host
+            from convsep_tpu.separate.complement import derive_last_stem
+
+            S = self.preset.model.num_sources
+            others = fetch_parallel(stems[: S - 1])
+            last = derive_last_stem(
+                others, padded, self.input_dtype, self.output_dtype
+            )
+            return np.concatenate([others, last[None]], axis=0)[:, :L]
         # per-stem concurrent fetch: the tunneled link is per-RPC-stream
         # limited (~27 MB/s single vs ~37 MB/s x4, BASELINE.md)
         return fetch_parallel(stems)[:, :L]

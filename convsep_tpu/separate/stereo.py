@@ -34,13 +34,14 @@ from convsep_tpu.models.masks import wiener_mask
 from convsep_tpu.separate.pipeline import _window, bucket_length
 
 
-@partial(jax.jit, static_argnames=("preset", "length", "output_dtype"))
+@partial(jax.jit, static_argnames=("preset", "length", "output_dtype", "conserve_last"))
 def separate_fused_stereo(
     params,
     audio: jnp.ndarray,
     preset: Preset,
     length: int,
     output_dtype: str = "float32",
+    conserve_last: bool = False,
 ) -> jnp.ndarray:
     """audio (2, length) → stems (num_sources, 2, length), one XLA program.
 
@@ -78,7 +79,8 @@ def separate_fused_stereo(
     y = ConvSep(m).apply(params, x, method=ConvSep.sources)  # (nseg, S, T, F, 2)
     y_frames = unsegment_frames(y.transpose(1, 4, 0, 2, 3), nf)  # (S, 2, nf, F)
     mask = wiener_mask(
-        y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=0
+        y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=0,
+        conserve_last=conserve_last,
     )  # (S, 2, nf, F)
     if use_fft:
         stems = istft(mask * spec[None], win, t.hop_size, length, nfft=t.nfft)
@@ -108,6 +110,8 @@ class StereoSeparator:
         params,
         output_dtype: str = "float32",
         input_dtype: str = "float32",
+        conserve_last: bool = False,
+        complement_last: bool = False,
     ):
         if output_dtype not in ("float32", "int16"):
             raise ValueError(f"output_dtype must be float32|int16, got {output_dtype}")
@@ -117,6 +121,15 @@ class StereoSeparator:
         self.params = params
         self.output_dtype = output_dtype
         self.input_dtype = input_dtype
+        # complement_last (implies conserve_last): skip the last stem's
+        # download; derive it host-side (separate/complement.py)
+        if complement_last and preset.model.num_sources < 2:
+            raise ValueError(
+                "complement_last requires a preset with >= 2 sources "
+                f"(got num_sources={preset.model.num_sources})"
+            )
+        self.complement_last = bool(complement_last)
+        self.conserve_last = bool(conserve_last or complement_last)
 
     def __call__(self, audio: np.ndarray) -> np.ndarray:
         audio = np.asarray(audio)
@@ -136,8 +149,19 @@ class StereoSeparator:
         Lb = bucket_length(L, self.preset)
         padded = np.pad(audio, ((0, 0), (0, Lb - L)))
         stems = separate_fused_stereo(
-            self.params, jnp.asarray(padded), self.preset, Lb, self.output_dtype
+            self.params, jnp.asarray(padded), self.preset, Lb, self.output_dtype,
+            self.conserve_last,
         )
         from convsep_tpu.utils.transfer import fetch_parallel
 
+        if self.complement_last:
+            from convsep_tpu.separate.complement import derive_last_stem
+
+            S = self.preset.model.num_sources
+            others = fetch_parallel(stems[: S - 1])  # (S-1, 2, Lb)
+            last = derive_last_stem(
+                others, padded, self.input_dtype, self.output_dtype
+            )
+            full = np.concatenate([others, last[None]], axis=0)
+            return full[:, :, :L].transpose(0, 2, 1)
         return fetch_parallel(stems)[:, :, :L].transpose(0, 2, 1)  # (S, L, 2)

@@ -31,6 +31,7 @@ def separate_batch(
     apply_fn=None,
     output_dtype: str = "float32",
     extra: jnp.ndarray | None = None,
+    conserve_last: bool = False,
 ) -> jnp.ndarray:
     """(B, length) mixtures → (B, S, length) stems; one XLA program.
 
@@ -42,19 +43,23 @@ def separate_batch(
 
     `extra`: score-informed channels — (B, n_frames, F, C-1) per-track, or
     (n_frames, F, C-1) broadcast to every track.
+    `conserve_last`: conservative Wiener masks (Σ masks = 1) so the caller
+    may complement-fetch the last stem host-side (separate/complement.py).
     """
     from convsep_tpu.separate.pipeline import separate_fused_batch
 
     if preset.transform.fft_impl == "pallas":
         return separate_batch_vmap(
-            params, tracks, preset, length, apply_fn, output_dtype, extra
+            params, tracks, preset, length, apply_fn, output_dtype, extra,
+            conserve_last,
         )
     return separate_fused_batch(
-        params, tracks, extra, preset, length, apply_fn, output_dtype
+        params, tracks, extra, preset, length, apply_fn, output_dtype,
+        conserve_last,
     )
 
 
-@partial(jax.jit, static_argnames=("preset", "length", "apply_fn", "output_dtype"))
+@partial(jax.jit, static_argnames=("preset", "length", "apply_fn", "output_dtype", "conserve_last"))
 def separate_batch_vmap(
     params,
     tracks: jnp.ndarray,
@@ -63,6 +68,7 @@ def separate_batch_vmap(
     apply_fn=None,
     output_dtype: str = "float32",
     extra: jnp.ndarray | None = None,
+    conserve_last: bool = False,
 ) -> jnp.ndarray:
     """vmap-of-single-track variant of :func:`separate_batch` — kept for
     fft_impl="pallas" presets and as the A/B reference for the native-batch
@@ -79,7 +85,7 @@ def separate_batch_vmap(
 
     params = precompose_collapsed(params, preset.model)
     single = lambda a, ex: separate_fused(  # noqa: E731
-        params, a, ex, preset, length, apply_fn, output_dtype
+        params, a, ex, preset, length, apply_fn, output_dtype, conserve_last
     )
     if extra is None:
         return jax.vmap(lambda a: single(a, None))(tracks)
@@ -87,7 +93,7 @@ def separate_batch_vmap(
     return jax.vmap(single, in_axes=(0, ex_axis))(tracks, extra)
 
 
-@partial(jax.jit, static_argnames=("preset", "length", "apply_fn", "output_dtype", "group"))
+@partial(jax.jit, static_argnames=("preset", "length", "apply_fn", "output_dtype", "group", "conserve_last"))
 def separate_batch_scan(
     params,
     tracks: jnp.ndarray,
@@ -97,6 +103,7 @@ def separate_batch_scan(
     output_dtype: str = "float32",
     group: int | None = None,
     extra: jnp.ndarray | None = None,
+    conserve_last: bool = False,
 ) -> jnp.ndarray:
     """(B, length) → (B, S, length) like separate_batch, but tracks run
     in GROUPS of `group` sequentially inside one dispatch (`lax.map` of a
@@ -129,13 +136,13 @@ def separate_batch_scan(
         # grouping is not worth a third compiled shape here (group=1 wins
         # on the v5e anyway — see the decision record above)
         fused = lambda a, ex: separate_fused(  # noqa: E731
-            params, a, ex, preset, length, apply_fn, output_dtype
+            params, a, ex, preset, length, apply_fn, output_dtype, conserve_last
         )
         if extra.ndim == 3:
             return jax.lax.map(lambda a: fused(a, extra), tracks)
         return jax.lax.map(lambda ae: fused(*ae), (tracks, extra))
     single = lambda a: separate_fused(  # noqa: E731
-        params, a, None, preset, length, apply_fn, output_dtype
+        params, a, None, preset, length, apply_fn, output_dtype, conserve_last
     )
     if group == 1 or B % group:
         return jax.lax.map(single, tracks)
@@ -145,13 +152,14 @@ def separate_batch_scan(
 
 
 
-@partial(jax.jit, static_argnames=("preset", "length", "output_dtype"))
+@partial(jax.jit, static_argnames=("preset", "length", "output_dtype", "conserve_last"))
 def separate_batch_scan_stereo(
     params,
     tracks: jnp.ndarray,
     preset: Preset,
     length: int,
     output_dtype: str = "float32",
+    conserve_last: bool = False,
 ) -> jnp.ndarray:
     """(B, 2, length) → (B, S, 2, length) with tracks run sequentially in
     one dispatch (`lax.map`) — the stereo analog of `separate_batch_scan`:
@@ -161,18 +169,21 @@ def separate_batch_scan_stereo(
 
     params = precompose_collapsed(params, preset.model)
     return jax.lax.map(
-        lambda a: separate_fused_stereo(params, a, preset, length, output_dtype),
+        lambda a: separate_fused_stereo(
+            params, a, preset, length, output_dtype, conserve_last
+        ),
         tracks,
     )
 
 
-@partial(jax.jit, static_argnames=("preset", "length", "output_dtype"))
+@partial(jax.jit, static_argnames=("preset", "length", "output_dtype", "conserve_last"))
 def separate_batch_stereo(
     params,
     tracks: jnp.ndarray,
     preset: Preset,
     length: int,
     output_dtype: str = "float32",
+    conserve_last: bool = False,
 ) -> jnp.ndarray:
     """(B, 2, length) stereo mixtures → (B, S, 2, length); one XLA program.
 
@@ -184,7 +195,9 @@ def separate_batch_stereo(
 
     params = precompose_collapsed(params, preset.model)
     return jax.vmap(
-        lambda a: separate_fused_stereo(params, a, preset, length, output_dtype)
+        lambda a: separate_fused_stereo(
+            params, a, preset, length, output_dtype, conserve_last
+        )
     )(tracks)
 
 
@@ -203,6 +216,8 @@ class StreamSeparator:
         apply_fn=None,
         output_dtype: str = "float32",
         input_dtype: str = "float32",
+        conserve_last: bool = False,
+        complement_last: bool = False,
     ):
         self.preset = preset
         self.mesh = mesh
@@ -213,6 +228,19 @@ class StreamSeparator:
         self.apply_fn = apply_fn
         self.output_dtype = output_dtype
         self.input_dtype = input_dtype
+        # complement_last (implies conserve_last): skip the last stem's
+        # device→host stream and derive it host-side as mixture − Σ others
+        # (separate/complement.py) — (S−1)/S of the plain download bytes.
+        # Wired here in r4 (VERDICT r3 #4: previously chunked-only).
+        if complement_last and preset.model.num_sources < 2:
+            raise ValueError(
+                "complement_last requires a preset with >= 2 sources "
+                f"(got num_sources={preset.model.num_sources})"
+            )
+        if (complement_last or conserve_last) and preset.transform.fft_impl == "pallas":
+            raise ValueError("conserve_last is not supported by the pallas mask kernel")
+        self.complement_last = bool(complement_last)
+        self.conserve_last = bool(conserve_last or complement_last)
         if mesh is not None:
             params = jax.device_put(params, replicated(mesh))
         self.params = params
@@ -249,15 +277,21 @@ class StreamSeparator:
         # compile the body (vs ~2 min unrolled vmap; bach10 vmap8 measured
         # 1481× — 2026-08-18) and the per-track working set is small enough
         # to vmap
+        cl = self.conserve_last
         if self._stereo:
             return lambda params, dev, preset, length, apply_fn, output_dtype, extra=None: (
-                separate_batch_stereo(params, dev, preset, length, output_dtype)
+                separate_batch_stereo(params, dev, preset, length, output_dtype, cl)
             )
         if self.mesh is not None or self.preset.transform.frame_size >= 2048:
-            return separate_batch
+            return lambda params, dev, preset, length, apply_fn, output_dtype, extra=None: (
+                separate_batch(
+                    params, dev, preset, length, apply_fn, output_dtype, extra, cl
+                )
+            )
         return lambda params, dev, preset, length, apply_fn, output_dtype, extra=None: (
             separate_batch_scan(
-                params, dev, preset, length, apply_fn, output_dtype, extra=extra
+                params, dev, preset, length, apply_fn, output_dtype, extra=extra,
+                conserve_last=cl,
             )
         )
 
@@ -276,6 +310,33 @@ class StreamSeparator:
             e = np.asarray(e, np.float32)[:nf]
             out[i, : e.shape[0]] = e
         return out
+
+    def _fetch_stems(self, out_dev, stacked: np.ndarray) -> np.ndarray:
+        """Device stems batch → host ((B, S[, 2], L)); with complement_last
+        the last stem never crosses the link — it is derived host-side per
+        track from the bucketed mixture (separate/complement.py)."""
+        from convsep_tpu.utils.transfer import fetch_parallel
+
+        S = self.preset.model.num_sources
+        if not self.complement_last:
+            # (B, S, L) → fetch B*S stems concurrently (per-RPC-stream
+            # limited link); device-side reshape is free
+            flat = fetch_parallel(out_dev.reshape(-1, out_dev.shape[-1]))
+            return flat.reshape(out_dev.shape)
+        from convsep_tpu.separate.complement import derive_last_stem
+
+        others_dev = out_dev[:, : S - 1]
+        flat = fetch_parallel(others_dev.reshape(-1, others_dev.shape[-1]))
+        others = flat.reshape(others_dev.shape)  # (B, S-1[, 2], L)
+        last = np.stack(
+            [
+                derive_last_stem(
+                    others[i], stacked[i], self.input_dtype, self.output_dtype
+                )
+                for i in range(others.shape[0])
+            ]
+        )
+        return np.concatenate([others, last[:, None]], axis=1)
 
     def separate_many(
         self,
@@ -301,11 +362,11 @@ class StreamSeparator:
                 jnp.asarray(ex),
                 batch_sharding(self.mesh, ex.ndim) if self.mesh is not None else None,
             )
-        out = self._batch_fn()(
+        out_dev = self._batch_fn()(
             self.params, dev, self.preset, stacked.shape[-1], self.apply_fn,
             self.output_dtype, extra,
         )
-        out = np.asarray(out)
+        out = self._fetch_stems(out_dev, stacked)
         return [out[i, ..., : lengths[i]] for i in range(len(tracks))]
 
     def stream(
@@ -357,7 +418,8 @@ class StreamSeparator:
                             exbuf, stacked.shape[0], stacked.shape[-1]
                         )
                         extra = jax.device_put(jnp.asarray(ex), ex_sharding)
-                    q.put((jax.device_put(jnp.asarray(stacked), sharding), lengths, extra))
+                    q.put((jax.device_put(jnp.asarray(stacked), sharding),
+                           lengths, extra, stacked))
                 q.put(_END)
             except Exception as e:
                 q.put(e)
@@ -366,13 +428,8 @@ class StreamSeparator:
         # dispatch batch k+1 BEFORE fetching batch k's stems: jax dispatch
         # is async, so the k+1 compute runs under k's device→host transfer
         # (on tunneled links the transfer dominates — VERDICT r1 #8)
-        def _fetch(prev_out, prev_lengths):
-            from convsep_tpu.utils.transfer import fetch_parallel
-
-            # (B, S, L) → fetch B*S stems concurrently (per-RPC-stream
-            # limited link); device-side reshape is free
-            flat = fetch_parallel(prev_out.reshape(-1, prev_out.shape[-1]))
-            prev = flat.reshape(prev_out.shape)
+        def _fetch(prev_out, prev_lengths, prev_stacked):
+            prev = self._fetch_stems(prev_out, prev_stacked)
             return [prev[i, ..., : prev_lengths[i]] for i in range(len(prev_lengths))]
 
         pending: tuple | None = None
@@ -382,13 +439,13 @@ class StreamSeparator:
                 break
             if isinstance(item, Exception):
                 raise item
-            dev, lengths, extra = item
+            dev, lengths, extra, stacked = item
             out_dev = self._batch_fn()(
                 self.params, dev, self.preset, dev.shape[-1], self.apply_fn,
                 self.output_dtype, extra,
             )
             if pending is not None:
                 yield _fetch(*pending)
-            pending = (out_dev, lengths)
+            pending = (out_dev, lengths, stacked)
         if pending is not None:
             yield _fetch(*pending)

@@ -41,7 +41,18 @@ def lasagne_adadelta(
     the train step is HBM-bound on streaming accu/delta_accu over the
     265 MB fc_expand leaf (BASELINE.md 2026-08-18), so halving the
     accumulator bytes attacks the measured floor directly. None keeps
-    the exact-reference float32 state."""
+    the exact-reference float32 state.
+
+    Long-horizon caveat (ADVICE r3): bfloat16 has an 8-bit mantissa, so a
+    per-step increment smaller than ~2⁻⁹ of the running accumulator is
+    rounded away — once gradients shrink far below the stored accu/
+    delta_accu the accumulators stall high instead of decaying by ρ. The
+    committed checks cover short horizons (5/200 steps, ≤2e-5 rel loss
+    drift) plus a 2000-step decay-tracking bound (tests/test_losses_optim
+    ::test_bf16_state_long_horizon_decay). For 10⁵+-step production runs
+    keep float32 state, or watch val-SDR in the soak harness and switch if
+    it drifts; narrowing only delta_accu (accu f32) or stochastic rounding
+    are the follow-on options if this knob ever matters at that scale."""
     sdt = jnp.dtype(state_dtype) if state_dtype is not None else None
 
     def _store(x):

@@ -50,6 +50,25 @@ def device_peak_tflops(device_kind: str) -> float:
     return 197.0
 
 
+def model_param_count(cfg) -> int:
+    """Analytic parameter count of ConvSep (models/convsep.py layer set).
+
+    Used as an HBM preflight by the bench's preset matrix: the axon
+    runtime's ``device.memory_stats()`` is None, so "will this preset's
+    eager init fit?" must be answered analytically (VERDICT r3 #1b —
+    the r3 bench died in an unguarded 1.39 GB bach10 init). Verified
+    against measured init sizes: ikala 149.5 M (0.60 GB fp32), bach10
+    347.3 M (1.39 GB fp32).
+    """
+    T, F, C, S = cfg.time_context, cfg.feat_size, cfg.channels_in, cfg.num_sources
+    N1, N2 = cfg.conv1_filters, cfg.conv2_filters
+    conv1 = cfg.conv1_freq * C * N1 + N1
+    conv2 = cfg.conv2_time_eff * N1 * N2 + N2
+    fc = cfg.enc_flat * cfg.bottleneck + cfg.bottleneck
+    fc_expand = cfg.bottleneck * S * cfg.enc_flat + S * cfg.enc_flat
+    return conv1 + conv2 + fc + fc_expand
+
+
 def model_flops_per_segment(cfg) -> dict:
     """MAC-derived FLOPs of one ConvSep forward over one (T, F, C) segment
     with the decoder `cfg.decoder_impl` selects (models/convsep.py)."""

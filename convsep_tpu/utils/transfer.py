@@ -17,6 +17,19 @@ import numpy as np
 
 _POOL: ThreadPoolExecutor | None = None
 
+# Process-wide stream-count override, set from an in-run link probe
+# (VERDICT r3 #4: r3's own probe measured 4-stream at 5.9 MB/s vs
+# single-stream 35.3 in the same run — on link-variance days the
+# multi-stream split LOSES, so the mode must be chosen per run, not
+# hard-coded). None → the historical default of 4 streams.
+_STREAMS: int | None = None
+
+
+def configure_streams(n: int) -> None:
+    """Pin the fetch stream count for this process (1 disables splitting)."""
+    global _STREAMS
+    _STREAMS = max(1, int(n))
+
 
 def _pool() -> ThreadPoolExecutor:
     global _POOL
@@ -25,10 +38,11 @@ def _pool() -> ThreadPoolExecutor:
     return _POOL
 
 
-def fetch_parallel(dev_array, max_streams: int = 4) -> np.ndarray:
+def fetch_parallel(dev_array, max_streams: int | None = None) -> np.ndarray:
     """np.asarray(dev_array) with leading-axis slices fetched concurrently."""
+    streams = max_streams if max_streams is not None else (_STREAMS or 4)
     n = int(dev_array.shape[0])
-    if n <= 1:
+    if n <= 1 or streams <= 1:
         return np.asarray(dev_array)
     # slice on device first (cheap) so each future fetches its own buffer;
     # the pool caps concurrency at max_workers RPC streams

@@ -285,31 +285,38 @@ def test_separate_chunked_flag(audio_dir, tmp_path):
     ]) == 0
     from convsep_tpu.data.io import read_wav
 
+    lsb = 1.0 / 32768.0  # read_wav returns float32 = PCM16 / 32768
     for name in os.listdir(whole):
         _, a = read_wav(os.path.join(whole, name))
         _, b = read_wav(os.path.join(chunked, name))
-        diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
-        assert diff.max() <= 1  # ±1 LSB on float rounding edges
-    # --complement-last: the non-last stems are byte-identical to direct
-    # chunked output; the last differs only by conservation + quantization
+        # ±1 LSB on float rounding edges
+        assert np.abs(a - b).max() <= 1.001 * lsb
+    # --complement-last: the NON-last stems stay within float rounding of
+    # the plain chunked output (same network outputs; the conservative mask
+    # renormalization perturbs them ≤ the Wiener eps scale); the LAST stem
+    # (ikala: "accompaniment") legitimately differs — conservation reroutes
+    # unclaimed TF energy into it
     comp = str(tmp_path / "comp")
     assert cli.main([
         "separate", "--preset", "tinyikala", "--params", pkl, "-i", mix,
         "-o", comp, "--chunked", "--chunk-segments", "2", "--complement-last",
     ]) == 0
-    names = sorted(os.listdir(chunked))
-    _, a = read_wav(os.path.join(chunked, names[0]))
-    _, b = read_wav(os.path.join(comp, names[0]))
-    assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
-    # --complement-last without --chunked errors instead of silently
-    # downloading every stem (ADVICE r2)
-    import pytest
-
-    with pytest.raises(ValueError, match="requires --chunked"):
-        cli.main([
-            "separate", "--preset", "tinyikala", "--params", pkl, "-i", mix,
-            "-o", str(tmp_path / "x"), "--complement-last",
-        ])
+    _, a = read_wav(os.path.join(chunked, "vocals.wav"))
+    _, b = read_wav(os.path.join(comp, "vocals.wav"))
+    assert np.abs(a - b).max() <= 1.001 * lsb
+    # r4: --complement-last works WITHOUT --chunked too (the whole-track
+    # Separator gained the conserve-mask + host-derivation path — VERDICT
+    # r3 #4; the old guard that required --chunked is gone)
+    whole_comp = str(tmp_path / "whole_comp")
+    assert cli.main([
+        "separate", "--preset", "tinyikala", "--params", pkl, "-i", mix,
+        "-o", whole_comp, "--complement-last",
+    ]) == 0
+    for name, tol in (("vocals.wav", 2.001), ("accompaniment.wav", 4.001)):
+        _, a = read_wav(os.path.join(comp, name))
+        _, b = read_wav(os.path.join(whole_comp, name))
+        # chunked vs whole-track float reassociation (+ derived-last stacking)
+        assert np.abs(a - b).max() <= tol * lsb, name
 
 
 def test_evaluate_windowed_and_oracle(audio_dir, tmp_path, capsys):
@@ -545,3 +552,111 @@ def test_serve_score_dir(tmp_path, monkeypatch):
     svc.pending()
     assert svc.sweep() == 1
     assert sorted(os.listdir(out / "p1")) == sorted(f"{s}.wav" for s in preset.sources)
+
+
+def test_separate_online_cli(audio_dir, tmp_path, capsys):
+    """`convsep separate --online` (VERDICT r3 #6: the push/flush mode's
+    L5 exposure): wav in blocks → stems + one JSON stats line, and the
+    stems match the whole-track separation within 1 PCM16 LSB (the online
+    path is bit-identical to ChunkedSeparator — tests/test_online.py —
+    and chunked vs whole-track differ only by float reassociation, which
+    can flip int16 round-to-nearest by one step)."""
+    import pickle
+
+    from tests.test_convert import _random_reference_values
+
+    preset = _tiny_ikala()
+    vals = _random_reference_values(preset.model, np.random.default_rng(4))
+    pkl = str(tmp_path / "model.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(vals, f, protocol=2)
+    mix_wav = os.path.join(audio_dir, "track0", "mixture.wav")
+
+    est = str(tmp_path / "online_est")
+    capsys.readouterr()
+    assert cli.main([
+        "separate", "--preset", "tinyikala", "--params", pkl,
+        "-i", mix_wav, "-o", est,
+        "--online", "--chunk-segments", "4", "--block-samples", "1000",
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["mode"] == "online"
+    assert stats["rtf_steady"] > 0
+    assert stats["latency_algo_s"] > 0
+    assert stats["pushed_samples"] == 2 * FS
+    assert sorted(os.listdir(est)) == ["accompaniment.wav", "vocals.wav"]
+
+    # whole-track comparator through the same CLI
+    whole = str(tmp_path / "whole_est")
+    assert cli.main([
+        "separate", "--preset", "tinyikala", "--params", pkl,
+        "-i", mix_wav, "-o", whole,
+    ]) == 0
+    from convsep_tpu.data.io import read_wav
+
+    for s in ("vocals", "accompaniment"):
+        _, a = read_wav(os.path.join(est, f"{s}.wav"))
+        _, b = read_wav(os.path.join(whole, f"{s}.wav"))
+        assert a.shape == b.shape
+        assert np.abs(a.astype(np.float64) - b.astype(np.float64)).max() <= 1.5 / 32768.0
+
+
+def test_separate_online_stdin(audio_dir, tmp_path, capsys, monkeypatch):
+    """`-i -`: raw mono PCM16 on stdin, block-read live."""
+    import io
+    import pickle
+    import sys as _sys
+
+    from tests.test_convert import _random_reference_values
+    from convsep_tpu.data.io import read_wav
+    from convsep_tpu.utils.pcm import quantize_pcm16_host
+
+    preset = _tiny_ikala()
+    vals = _random_reference_values(preset.model, np.random.default_rng(5))
+    pkl = str(tmp_path / "model.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(vals, f, protocol=2)
+    _, mix = read_wav(os.path.join(audio_dir, "track0", "mixture.wav"))
+    pcm = quantize_pcm16_host(np.asarray(mix, np.float32))
+
+    class _Stdin:
+        buffer = io.BytesIO(pcm.tobytes())
+
+    monkeypatch.setattr(_sys, "stdin", _Stdin())
+    est = str(tmp_path / "stdin_est")
+    capsys.readouterr()
+    assert cli.main([
+        "separate", "--preset", "tinyikala", "--params", pkl,
+        "-i", "-", "-o", est, "--online", "--chunk-segments", "4",
+    ]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["pushed_samples"] == len(pcm)
+    _, a = read_wav(os.path.join(est, "vocals.wav"))
+    assert a.shape == (len(pcm),)
+
+
+def test_separate_complement_last_cli(audio_dir, tmp_path):
+    """--complement-last now works on the whole-track path too (r4)."""
+    import pickle
+
+    from tests.test_convert import _random_reference_values
+
+    preset = _tiny_ikala()
+    vals = _random_reference_values(preset.model, np.random.default_rng(6))
+    pkl = str(tmp_path / "model.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(vals, f, protocol=2)
+    mix_wav = os.path.join(audio_dir, "track0", "mixture.wav")
+    est = str(tmp_path / "comp_est")
+    assert cli.main([
+        "separate", "--preset", "tinyikala", "--params", pkl,
+        "-i", mix_wav, "-o", est, "--complement-last",
+    ]) == 0
+    from convsep_tpu.data.io import read_wav
+
+    _, mix = read_wav(mix_wav)
+    stems = [read_wav(os.path.join(est, f"{s}.wav"))[1]
+             for s in ("vocals", "accompaniment")]
+    # conservation: PCM16 stems sum back to the mixture within 2 LSB
+    total = sum(s.astype(np.float64) for s in stems)
+    assert np.abs(total - np.asarray(mix, np.float64)).max() <= 2.5 / 32768.0

@@ -175,3 +175,62 @@ def test_score_channels_selector():
     assert comb.shape == nmf.shape == (12, 513, 2)
     with _pytest.raises(ValueError, match="score_filter"):
         score_channels(mag, notes, preset, "wavelet")
+
+
+def test_score_gated_resynthesis_recovers_stems():
+    """SepConfig.score_gate (r4, VERDICT r3 #5): with an uninformative model
+    (uniform magnitude estimates) and IDEAL score masks as extra channels,
+    g=1 turns the Wiener mask into the score mask itself — separation must
+    then approach the ideal-mask result, while g=0 leaves the uniform
+    mask's mix/S split. Pins both the gate math and the on-device mask
+    recovery extra_i/(|mix|·mult)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convsep_tpu.data import segment_frames, sine_mixture
+    from convsep_tpu.dsp import magphase, sinebell, stft
+    from convsep_tpu.separate import Separator
+    from tests.test_separate import tiny_preset
+
+    preset = tiny_preset("bach10")  # channels_in = 1 + 4 sources
+    t, m = preset.transform, preset.model
+    L = 8000
+    stems, mix = sine_mixture(
+        4, L, fs=t.fs, freqs=(200.0, 650.0, 1400.0, 3100.0), seed=11
+    )
+    from convsep_tpu.separate import bucket_length
+
+    Lb = bucket_length(L, preset)
+    win = sinebell(t.frame_size)
+    mags = np.stack(
+        [
+            np.asarray(magphase(stft(np.pad(s, (0, Lb - L)), win, t.hop_size))[0])
+            for s in stems
+        ]
+    )  # (S, nf, F)
+    mix_mag = np.asarray(
+        magphase(stft(np.pad(mix, (0, Lb - L)), win, t.hop_size))[0]
+    )
+    ideal = mags / (mags.sum(0, keepdims=True) + 1e-9)  # ideal ratio mask
+    extra = (
+        ideal.transpose(1, 2, 0) * mix_mag[..., None] * preset.train.mult_factor_in
+    ).astype(np.float32)  # exactly score_channels' scaling contract
+
+    nseg = -(-mix_mag.shape[0] // m.time_context)
+    uniform = jnp.ones((nseg, m.time_context, m.feat_size, 4), jnp.float32)
+    for g, min_snr, max_snr in ((1.0, 8.0, None), (0.0, None, 3.0)):
+        p = dataclasses.replace(
+            preset, sep=dataclasses.replace(preset.sep, score_gate=g)
+        )
+        sep = Separator(p, params={}, apply_fn=lambda pp, x: uniform)
+        est = sep(mix, extra=extra)
+        snrs = [
+            10 * np.log10(np.sum(s**2) / (np.sum((s - e) ** 2) + 1e-12))
+            for s, e in zip(stems, est)
+        ]
+        if min_snr is not None:
+            assert min(snrs) > min_snr, f"g={g}: {snrs}"
+        if max_snr is not None:
+            assert max(snrs) < max_snr, f"g={g}: {snrs}"

@@ -37,6 +37,11 @@ def main() -> int:
         "--score-filter", default="comb", choices=("comb", "nmf"),
         help="score-informed presets only: extra-channel filter (comb|nmf)",
     )
+    ap.add_argument(
+        "--score-gate", type=float, default=0.0,
+        help="score-gated resynthesis strength g in [0,1] at SEPARATION time "
+        "(SepConfig.score_gate; 0 = input-channel conditioning only)",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -71,6 +76,7 @@ def main() -> int:
             checkpoint_optimizer_state=False,
             checkpoint_every_epochs=max(1, args.epochs),
         ),
+        sep=dataclasses.replace(preset.sep, score_gate=args.score_gate),
     )
     fs = preset.transform.fs
     S = preset.model.num_sources
@@ -159,6 +165,7 @@ def main() -> int:
     result = {
         "preset": args.preset,
         "score_filter": args.score_filter if score_informed else None,
+        "score_gate": args.score_gate if score_informed else None,
         "compute_dtype": preset.model.compute_dtype,
         "epochs": args.epochs,
         "loss_first": round(float(losses[0]), 4),
