@@ -42,9 +42,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_WB = 8      # w rows per grid block (one sublane tile of the K4 slice)
-_BB = 200    # fc rows per grid block (VMEM budget; multiple of 8)
-_SPILL = 8   # carry rows; requires ktaps - 1 <= 8
+_WB = 8          # w rows per grid block (one sublane tile of the K4 slice)
+_BB = 200        # fc rows per grid block (VMEM budget; multiple of 8)
+_SPILL_MAX = 16  # carry-row ceiling; requires ktaps - 1 <= 16
+
+
+def _spill_rows(ktaps: int) -> int:
+    """Carry rows for a tap count, rounded to a sublane tile (8).
+
+    A spill window LARGER than the w-block (_WB = 8) is sound: the fold
+    adds the previous carry into acc[0:spill] BEFORE the new carry is
+    captured from acc[WB:WB+spill], and the two regions overlap on rows
+    [WB, spill) — contributions destined two blocks ahead ride through the
+    carry twice (r4, extends the envelope from ktaps ≤ 9 to ktaps ≤ 17;
+    dsd100-class ktaps = 10)."""
+    return max(8, -(-(ktaps - 1) // 8) * 8)
 
 
 def fused_decode_supported(TpC: int, TM: int, ktaps: int) -> bool:
@@ -53,15 +65,22 @@ def fused_decode_supported(TpC: int, TM: int, ktaps: int) -> bool:
     TM (= T·M out-dims per tap) pads to a multiple of 128 lanes — below
     ~90 the MXU pad waste outweighs the fusion (ikala-class TM=30 would
     waste 4×); above 384 the per-tap accumulator outgrows the VMEM budget.
+
+    The lane-pad bound is MEASURED, not guessed: at TMp/TM = 128/90 = 1.42
+    (dsd100 geometry, ktaps = 10) the compiled kernel is exact but ~1.18×
+    SLOWER than the XLA bandconv chain at b32 (5.20 vs 4.41 ms/track,
+    v5e 2026-08-20 — BASELINE.md decision record), while at 1.07
+    (highres/multires, TM = 120/360) it wins. Bound set at 1.25 so "auto"
+    only ever picks the winning branch.
     """
-    if not (ktaps - 1 <= _SPILL and TpC % 8 == 0 and 90 <= TM <= 384):
+    if not (ktaps - 1 <= _SPILL_MAX and TpC % 8 == 0 and 90 <= TM <= 384):
         return False
     TMp = -(-TM // 128) * 128
-    return TMp / TM <= 1.45
+    return TMp / TM <= 1.25
 
 
 def _kernel(fc_ref, k4_ref, b_ref, kcat_ref, out_ref, acc, carry,
-            *, WB, ktaps, TMp, dt):
+            *, WB, ktaps, TMp, dt, spill):
     """One (source s, row-block bb, w-block wb) step."""
     acc[:] = jnp.zeros_like(acc)
     fc = fc_ref[:]
@@ -79,12 +98,14 @@ def _kernel(fc_ref, k4_ref, b_ref, kcat_ref, out_ref, acc, carry,
         g3 = g.reshape(g.shape[0], ktaps, TMp)
         acc[:, w:w + ktaps] += g3
     # fold the previous w-block's spill (same (s, bb): the w axis is the
-    # minor grid dim and carry resets at wb == 0)
+    # minor grid dim and carry resets at wb == 0). Must precede the carry
+    # capture below — when spill > WB the regions overlap and the fold's
+    # writes to rows [WB, spill) are re-captured for the block after next.
     @pl.when(pl.program_id(2) != 0)
     def _fold():
-        acc[:, 0:_SPILL] += carry[:]
+        acc[:, 0:spill] += carry[:]
 
-    carry[:] = acc[:, WB:WB + _SPILL]
+    carry[:] = acc[:, WB:WB + spill]
     out_ref[:, 0] = acc[:, :WB, :out_ref.shape[-1]]
 
 
@@ -149,8 +170,9 @@ def band_freq_decode_pallas(
     if B_pad != B:
         fcp = jnp.pad(fcp, ((0, B_pad - B), (0, 0)))
     n_wb = W_pad // _WB
+    spill = _spill_rows(ktaps)
     out = pl.pallas_call(
-        partial(_kernel, WB=_WB, ktaps=ktaps, TMp=TMp, dt=dt),
+        partial(_kernel, WB=_WB, ktaps=ktaps, TMp=TMp, dt=dt, spill=spill),
         grid=(S, n_bb, n_wb),
         in_specs=[
             pl.BlockSpec((BB, J), lambda s, bb, wb: (bb, 0),
@@ -167,8 +189,8 @@ def band_freq_decode_pallas(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B_pad, S, W_pad, TM), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((BB, _WB + _SPILL, TMp), jnp.float32),
-            pltpu.VMEM((BB, _SPILL, TMp), jnp.float32),
+            pltpu.VMEM((BB, _WB + spill, TMp), jnp.float32),
+            pltpu.VMEM((BB, spill, TMp), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * S * B_pad * W_pad * (J * TpC + TpC * ktaps * TMp),

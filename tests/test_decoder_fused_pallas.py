@@ -60,8 +60,31 @@ def test_fused_decode_unsupported_shapes_raise():
     from convsep_tpu.models.decoder_fused_pallas import fused_decode_supported
 
     assert not fused_decode_supported(TpC=800, TM=30, ktaps=2)
-    assert not fused_decode_supported(TpC=800, TM=120, ktaps=10)
+    assert not fused_decode_supported(TpC=800, TM=120, ktaps=18)
     assert fused_decode_supported(TpC=800, TM=120, ktaps=8)
+    # r4: the spill window extends past one w-block (ktaps − 1 ≤ 16) …
+    assert fused_decode_supported(TpC=800, TM=120, ktaps=10)
+    # … but dsd100's exact geometry (TM = 90 → 1.42× lane pad) stays OUT:
+    # the compiled kernel measured 1.18× slower than XLA bandconv there
+    # (v5e 2026-08-20 A/B, BASELINE.md decision record)
+    assert not fused_decode_supported(TpC=80, TM=90, ktaps=10)
+
+
+def test_fused_decode_wide_spill(rng):
+    """ktaps = 10 (spill 16 > w-block 8): contributions ride the carry
+    through TWO block boundaries."""
+    cfg = dataclasses.replace(CFG, conv1_freq=37)
+    m_ref = ConvSep(cfg)
+    x = jnp.asarray(
+        np.abs(rng.standard_normal((4, 30, 129, 1))).astype(np.float32)
+    )
+    params = m_ref.init(jax.random.PRNGKey(3), x)
+    m_fused = ConvSep(dataclasses.replace(cfg, decoder_impl="bandconv_pallas"))
+    np.testing.assert_allclose(
+        np.asarray(m_fused.apply(params, x)),
+        np.asarray(m_ref.apply(params, x)),
+        atol=1e-4,
+    )
 
 
 def test_fused_decode_multitile_tm(rng):

@@ -38,9 +38,12 @@ def main() -> int:
         help="score-informed presets only: extra-channel filter (comb|nmf)",
     )
     ap.add_argument(
-        "--score-gate", type=float, default=0.0,
+        "--score-gate", default="0.0",
         help="score-gated resynthesis strength g in [0,1] at SEPARATION time "
-        "(SepConfig.score_gate; 0 = input-channel conditioning only)",
+        "(SepConfig.score_gate; 0 = input-channel conditioning only). "
+        "Comma-separated values sweep the gate over ONE trained model — "
+        "the gate is a separation-time knob, so a sweep costs one extra "
+        "compile per value, not a retrain (VERDICT r4 #5 lever search)",
     )
     args = ap.parse_args()
 
@@ -67,6 +70,7 @@ def main() -> int:
             preset,
             model=dataclasses.replace(preset.model, compute_dtype=args.compute_dtype),
         )
+    gates = [float(g) for g in str(args.score_gate).split(",")]
     preset = dataclasses.replace(
         preset,
         train=dataclasses.replace(
@@ -76,7 +80,7 @@ def main() -> int:
             checkpoint_optimizer_state=False,
             checkpoint_every_epochs=max(1, args.epochs),
         ),
-        sep=dataclasses.replace(preset.sep, score_gate=args.score_gate),
+        sep=dataclasses.replace(preset.sep, score_gate=gates[0]),
     )
     fs = preset.transform.fs
     S = preset.model.num_sources
@@ -142,7 +146,6 @@ def main() -> int:
     refs = np.stack(
         [read_wav(os.path.join(held, f"{s}.wav"))[1] for s in preset.sources]
     )
-    sep = Separator(preset, trainer.state.params)
     extra = None
     if score_informed:
         from convsep_tpu.data.features import score_channels
@@ -157,20 +160,26 @@ def main() -> int:
         extra = score_channels(
             mag, held_notes, preset, args.score_filter
         ) * preset.train.mult_factor_in
-    ests = sep(np.asarray(mix, np.float32), extra=extra)[:, : refs.shape[1]]
-    sdr, sir, _, _ = bss_eval_sources(refs, ests[:, : refs.shape[1]], flen=512)
     orc = oracle_stems(np.asarray(mix, np.float32)[: refs.shape[1]], refs, preset)
     osdr, _, _, _ = bss_eval_sources(refs, orc, flen=512)
 
     result = {
         "preset": args.preset,
         "score_filter": args.score_filter if score_informed else None,
-        "score_gate": args.score_gate if score_informed else None,
         "compute_dtype": preset.model.compute_dtype,
         "epochs": args.epochs,
         "loss_first": round(float(losses[0]), 4),
         "loss_last": round(float(losses[-1]), 4),
-        "stems": {
+    }
+    for gate in gates if score_informed else gates[:1]:
+        p = dataclasses.replace(
+            preset, sep=dataclasses.replace(preset.sep, score_gate=gate)
+        )
+        ests = Separator(p, trainer.state.params)(
+            np.asarray(mix, np.float32), extra=extra
+        )[:, : refs.shape[1]]
+        sdr, sir, _, _ = bss_eval_sources(refs, ests[:, : refs.shape[1]], flen=512)
+        stems = {
             name: {
                 "SDR": round(float(a), 2),
                 "SIR": round(float(b), 2),
@@ -178,8 +187,12 @@ def main() -> int:
                 "headroom_dB": round(float(o - a), 2),
             }
             for name, a, b, o in zip(preset.sources, sdr, sir, osdr)
-        },
-    }
+        }
+        if len(gates) == 1 or not score_informed:
+            result["score_gate"] = gate if score_informed else None
+            result["stems"] = stems
+        else:
+            result.setdefault("gate_sweep", {})[str(gate)] = stems
     print(json.dumps(result))
     return 0
 
