@@ -70,10 +70,11 @@ def test_fused_decode_unsupported_shapes_raise():
     assert not fused_decode_supported(TpC=80, TM=90, ktaps=10)
 
 
-def test_fused_decode_wide_spill(rng):
-    """ktaps = 10 (spill 16 > w-block 8): contributions ride the carry
-    through TWO block boundaries."""
-    cfg = dataclasses.replace(CFG, conv1_freq=37)
+@pytest.mark.parametrize("conv1_freq", [37, 65])
+def test_fused_decode_wide_spill(rng, conv1_freq):
+    """ktaps = 10 and 17 (spill 16 > w-block 8): contributions ride the
+    carry through TWO block boundaries; 17 is the envelope's edge."""
+    cfg = dataclasses.replace(CFG, conv1_freq=conv1_freq)
     m_ref = ConvSep(cfg)
     x = jnp.asarray(
         np.abs(rng.standard_normal((4, 30, 129, 1))).astype(np.float32)
