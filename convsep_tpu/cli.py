@@ -160,7 +160,12 @@ def _cmd_separate(args) -> int:
         )
     if args.score_gate:
         preset = dataclasses.replace(
-            preset, sep=dataclasses.replace(preset.sep, score_gate=args.score_gate)
+            preset,
+            sep=dataclasses.replace(
+                preset.sep,
+                score_gate=args.score_gate,
+                score_gate_mode=args.score_gate_mode,
+            ),
         )
     params = _load_params(args.params, preset, allow_unsafe=args.unsafe_pickle)
     if args.online:
@@ -702,6 +707,10 @@ def main(argv=None) -> int:
     se.add_argument(
         "--score-gate", type=float, default=0.0,
         help="score-gated resynthesis strength g in [0,1]: multiply each source's magnitude estimate by (1-g)+g*score_mask before the Wiener mask (score-informed presets with --score only)",
+    )
+    se.add_argument(
+        "--score-gate-mode", default="mult", choices=["mult", "blend"],
+        help="how --score-gate combines model and score: mult = gate the model's magnitudes; blend = convex combination (1-g)*est + g*mask*|mix| whose g=1 end is score-mask-only separation",
     )
     se.add_argument("--stereo", action="store_true", help="separate channels independently → stereo stems (default: downmix to mono)")
     se.add_argument("--wiener-p", type=float, default=None, help="generalized Wiener exponent (default: preset, 1.0; 2.0 = classic Wiener)")

@@ -128,6 +128,15 @@ class SepConfig:
     # conditioning only (the r3 behavior); g=1 = hard score gating of the
     # outputs. A quality lever for the bach10 oracle gap (VERDICT r3 #5).
     score_gate: float = 0.0
+    # How score_gate combines the model estimate with the score prior:
+    # "mult"  — est_i · ((1−g) + g·mask_i): gates the model's magnitudes,
+    #           never discards them (the r4.0 behavior);
+    # "blend" — (1−g)·est_i + g·mask_i·|mix|: a convex combination whose
+    #           g=1 end IS score-mask-only separation. Measured on the
+    #           pinned bach10 battery (2026-08-20): mask-only beats the
+    #           trained model on sax/bassoon (5.5/7.6 vs 0.0/3.0 dB SDR),
+    #           so blend dominates mult where the model is weakest.
+    score_gate_mode: str = "mult"
 
 
 @dataclasses.dataclass(frozen=True)

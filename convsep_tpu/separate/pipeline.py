@@ -69,6 +69,12 @@ def _score_gate(y_frames, extra, mag, preset, src_axis: int):
     up to STFT float noise. No-op unless the preset is score-informed
     (channels_in = 1+S, no multires), lin iscale, and score_gate > 0.
 
+    Two modes (SepConfig.score_gate_mode): "mult" multiplies the estimate
+    by (1−g) + g·mask_i; "blend" returns (1−g)·est_i + g·mask_i·|mix| — a
+    convex combination whose g=1 end is score-mask-only separation (the
+    stronger lever where the model is weaker than the score prior; pinned
+    bach10 battery 2026-08-20).
+
     `src_axis`: 0 → y (S, nf, F), extra (nf, F, S), mag (nf, F);
                 1 → y (B, S, nf, F), extra (B, nf, F, S), mag (B, nf, F).
     """
@@ -82,10 +88,19 @@ def _score_gate(y_frames, extra, mag, preset, src_axis: int):
         or m.channels_in != 1 + m.num_sources
     ):
         return y_frames
-    if src_axis == 0:
-        gate = jnp.moveaxis(extra, -1, 0) / (mag[None] + 1e-6)
-    else:
-        gate = jnp.moveaxis(extra, -1, 1) / (mag[:, None] + 1e-6)
+    # extra_i = mask_i·|mix|·mult_factor_in; y approximates
+    # mag_src·mult_factor_out — rescale the prior into output units so the
+    # blend is a true convex combination (factors are equal by default)
+    prior = jnp.moveaxis(extra, -1, src_axis)
+    if preset.sep.score_gate_mode == "blend":
+        prior = prior * (preset.train.mult_factor_out / preset.train.mult_factor_in)
+        return (1.0 - g) * y_frames + g * prior
+    if preset.sep.score_gate_mode != "mult":
+        raise ValueError(
+            f"unknown score_gate_mode {preset.sep.score_gate_mode!r}; "
+            "have mult | blend"
+        )
+    gate = prior / ((mag[None] if src_axis == 0 else mag[:, None]) + 1e-6)
     gate = jnp.clip(gate, 0.0, 1.0)
     return y_frames * ((1.0 - g) + g * gate)
 

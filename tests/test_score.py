@@ -234,3 +234,63 @@ def test_score_gated_resynthesis_recovers_stems():
             assert min(snrs) > min_snr, f"g={g}: {snrs}"
         if max_snr is not None:
             assert max(snrs) < max_snr, f"g={g}: {snrs}"
+
+
+def test_score_gate_blend_is_model_independent_at_g1():
+    """score_gate_mode="blend" (r4): at g=1 the Wiener input is the score
+    prior itself, so the stems must be IDENTICAL whatever the model says —
+    the property that lets the blend reach mask-only separation where the
+    model is weaker than the score (pinned bach10 battery 2026-08-20)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convsep_tpu.data import sine_mixture
+    from convsep_tpu.dsp import magphase, sinebell, stft
+    from convsep_tpu.separate import Separator, bucket_length
+    from tests.test_separate import tiny_preset
+
+    preset = tiny_preset("bach10")
+    t, m = preset.transform, preset.model
+    L = 8000
+    stems, mix = sine_mixture(
+        4, L, fs=t.fs, freqs=(200.0, 650.0, 1400.0, 3100.0), seed=11
+    )
+    Lb = bucket_length(L, preset)
+    win = sinebell(t.frame_size)
+    mags = np.stack(
+        [
+            np.asarray(magphase(stft(np.pad(s, (0, Lb - L)), win, t.hop_size))[0])
+            for s in stems
+        ]
+    )
+    mix_mag = np.asarray(
+        magphase(stft(np.pad(mix, (0, Lb - L)), win, t.hop_size))[0]
+    )
+    ideal = mags / (mags.sum(0, keepdims=True) + 1e-9)
+    extra = (
+        ideal.transpose(1, 2, 0) * mix_mag[..., None] * preset.train.mult_factor_in
+    ).astype(np.float32)
+
+    nseg = -(-mix_mag.shape[0] // m.time_context)
+    shape = (nseg, m.time_context, m.feat_size, 4)
+    p = dataclasses.replace(
+        preset,
+        sep=dataclasses.replace(preset.sep, score_gate=1.0, score_gate_mode="blend"),
+    )
+    outs = []
+    for model_out in (
+        jnp.ones(shape, jnp.float32),
+        jax.random.uniform(jax.random.PRNGKey(0), shape),
+    ):
+        sep = Separator(p, params={}, apply_fn=lambda pp, x, mo=model_out: mo)
+        outs.append(np.asarray(sep(mix, extra=extra)))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
+    # and it actually separates: ideal-mask prior → high SNR
+    snrs = [
+        10 * np.log10(np.sum(s**2) / (np.sum((s - e) ** 2) + 1e-12))
+        for s, e in zip(stems, outs[0])
+    ]
+    assert min(snrs) > 8.0, snrs

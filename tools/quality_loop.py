@@ -38,6 +38,16 @@ def main() -> int:
         help="score-informed presets only: extra-channel filter (comb|nmf)",
     )
     ap.add_argument(
+        "--score-gate-mode", default="mult", choices=("mult", "blend"),
+        help="mult = gate the model magnitudes; blend = convex combination "
+        "reaching score-mask-only separation at g=1 (SepConfig.score_gate_mode)",
+    )
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="restore the latest checkpoint in --out/run and skip already-"
+        "trained epochs — lets gate/mode sweeps reuse one training",
+    )
+    ap.add_argument(
         "--score-gate", default="0.0",
         help="score-gated resynthesis strength g in [0,1] at SEPARATION time "
         "(SepConfig.score_gate; 0 = input-channel conditioning only). "
@@ -80,7 +90,11 @@ def main() -> int:
             checkpoint_optimizer_state=False,
             checkpoint_every_epochs=max(1, args.epochs),
         ),
-        sep=dataclasses.replace(preset.sep, score_gate=gates[0]),
+        sep=dataclasses.replace(
+            preset.sep,
+            score_gate=gates[0],
+            score_gate_mode=args.score_gate_mode,
+        ),
     )
     fs = preset.transform.fs
     S = preset.model.num_sources
@@ -119,10 +133,11 @@ def main() -> int:
 
     # --- features + training ----------------------------------------------
     feats = os.path.join(args.out, "feats")
-    compute_features(
-        train_dir, feats, preset,
-        score_informed=score_informed, score_filter=args.score_filter,
-    )
+    if not (args.resume and os.path.isdir(feats)):
+        compute_features(
+            train_dir, feats, preset,
+            score_informed=score_informed, score_filter=args.score_filter,
+        )
     ds = SegmentDataset(
         feats,
         preset.sources,
@@ -137,6 +152,8 @@ def main() -> int:
         ),
     )
     trainer = Trainer(preset, workdir=os.path.join(args.out, "run"))
+    if args.resume:
+        trainer.restore()
     losses = trainer.fit(ds)
 
     # --- held-out separation + eval ---------------------------------------
@@ -168,8 +185,9 @@ def main() -> int:
         "score_filter": args.score_filter if score_informed else None,
         "compute_dtype": preset.model.compute_dtype,
         "epochs": args.epochs,
-        "loss_first": round(float(losses[0]), 4),
-        "loss_last": round(float(losses[-1]), 4),
+        "score_gate_mode": args.score_gate_mode if score_informed else None,
+        "loss_first": round(float(losses[0]), 4) if losses else None,
+        "loss_last": round(float(losses[-1]), 4) if losses else None,
     }
     for gate in gates if score_informed else gates[:1]:
         p = dataclasses.replace(
