@@ -65,7 +65,11 @@ import numpy as np
 
 from convsep_tpu.configs import get_preset
 from convsep_tpu.data.synth import sine_mixture
-from convsep_tpu.models.convsep import ConvSep, resolve_decoder_impl
+from convsep_tpu.models.convsep import (
+    ConvSep,
+    prepare_inference,
+    resolve_decoder_impl,
+)
 from convsep_tpu.separate.pipeline import bucket_length, separate_fused
 from convsep_tpu.utils import transfer as _transfer
 from convsep_tpu.utils.flops import mfu as compute_mfu
@@ -201,6 +205,10 @@ def _matrix_one(
             jax.random.PRNGKey(seed),
             jnp.zeros((1, cfg.time_context, cfg.feat_size, cfg.channels_in)),
         )
+        # one-time fused-decode operand prep (r4): moves ~8 ms/dispatch of
+        # relayout/pad passes off the measured path, exactly as the
+        # Separator classes do (models.convsep.prepare_inference)
+        params = prepare_inference(cfg, params)
         tracks = [jnp.asarray(host + np.float32(i) * 1e-6) for i in range(batch)]
         # extra channels the transform does NOT synthesize itself
         # (multires presets compute theirs in-program from the audio)

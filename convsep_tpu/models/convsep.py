@@ -608,7 +608,11 @@ class _FcExpandWPad(nn.Module):
 class _FcExpandParams(nn.Module):
     """Raw fc_expand param declaration (identical tree to _FcExpandWPad /
     nn.Dense) for decoders that consume the kernel/bias directly — the
-    fused Mosaic decode kernel streams the kernel from HBM itself."""
+    fused Mosaic decode kernel streams the kernel from HBM itself.
+
+    When the caller provides a ``dec_cache`` collection
+    (:func:`prepare_inference`), the top-level ConvSep pallas branch swaps
+    the raw kernel for the pre-prepared form before the Mosaic call."""
 
     config: ConvSepConfig
 
@@ -719,6 +723,50 @@ class _CollapsedFc(nn.Module):
             x.astype(dt), w4e, (((1, 2, 3), (0, 1, 2)), ((), ()))
         )
         return y + c
+
+
+def prepare_inference(cfg: "ConvSepConfig", variables):
+    """Augment a variables dict with the fused Mosaic decode's pre-prepared
+    fc_expand kernel under the ``dec_cache`` collection (no-op unless the
+    config resolves to "bandconv_pallas"). Companion to
+    :func:`precompose_collapsed`, same contract.
+
+    Why: the kernel's operand prep (reshape → relayout → w pad → dtype
+    cast of the raw 2-D fc_expand weight) is THREE full HBM passes over
+    the 827 MB highres4096 leaf — ~8 ms, HALF the single-track device time
+    (b32 trace 2026-08-20) — re-executed on EVERY dispatch because XLA
+    cannot hoist transformations of a traced argument. Calling this once
+    per separator moves it off the dispatch path entirely. Training and
+    checkpoints always use the raw leaf."""
+    if (
+        resolve_decoder_impl(cfg) != "bandconv_pallas"
+        or not isinstance(variables, dict)
+        or "dec_cache" in variables
+        or "params" not in variables
+    ):
+        return variables
+    try:
+        kernel = variables["params"]["fc_expand"]["kernel"]
+    except (KeyError, TypeError):
+        return variables
+    if getattr(kernel, "ndim", 0) != 2:
+        return variables
+    from convsep_tpu.models.decoder_fused_pallas import w_pad_rows
+
+    S, J = cfg.num_sources, cfg.bottleneck
+    W, TpC = cfg.enc_freq, cfg.enc_time * cfg.conv2_filters
+    ktaps = -(-cfg.conv1_freq // cfg.conv1_freq_stride)
+    W_pad = w_pad_rows(W, ktaps)
+    dt = jnp.dtype(cfg.compute_dtype)
+
+    @jax.jit
+    def _prep(k):
+        k4 = k.astype(dt).reshape(J, S, W, TpC)
+        if W_pad != W:
+            k4 = jnp.pad(k4, ((0, 0), (0, 0), (0, W_pad - W), (0, 0)))
+        return k4
+
+    return {**variables, "dec_cache": {"k4": _prep(kernel)}}
 
 
 def resolve_decoder_impl(cfg: "ConvSepConfig") -> str:
@@ -846,6 +894,11 @@ class ConvSep(nn.Module):
             )
 
             kexp, bexp = _FcExpandParams(cfg, name="fc_expand")()
+            if self.has_variable("dec_cache", "k4"):
+                # pre-prepared (J, S, W_pad, TpC) compute-dtype form
+                # (prepare_inference) — skips ~8 ms/dispatch of operand
+                # relayout+pad passes on 4096-pt presets
+                kexp = self.get_variable("dec_cache", "k4")
             TpC = cfg.enc_time * cfg.conv2_filters
             KC, ktaps, T, M = band_freq_conv_kernel(
                 k2c, k1c, cfg.enc_time, cfg.conv1_freq_stride

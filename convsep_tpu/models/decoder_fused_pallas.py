@@ -47,6 +47,12 @@ _BB = 200        # fc rows per grid block (VMEM budget; multiple of 8)
 _SPILL_MAX = 16  # carry-row ceiling; requires ktaps - 1 <= 16
 
 
+def w_pad_rows(W: int, ktaps: int) -> int:
+    """Padded w rows: w-blocks tile exactly AND the final block's spill
+    lands on zero-expansion rows (W_pad − W ≥ ktaps − 1)."""
+    return -(-(W + ktaps - 1) // _WB) * _WB
+
+
 def _spill_rows(ktaps: int) -> int:
     """Carry rows for a tap count, rounded to a sublane tile (8).
 
@@ -141,11 +147,22 @@ def band_freq_decode_pallas(
         )
     # pad W so the final block's spill lands on zero-expansion rows
     # (W_pad − W ≥ ktaps − 1) and w-blocks tile exactly
-    W_pad = -(-(W + ktaps - 1) // _WB) * _WB
-    k4 = kernel.astype(dt).reshape(J, S, W, TpC)
+    W_pad = w_pad_rows(W, ktaps)
+    if kernel.ndim == 4:
+        # pre-prepared leaf (prepare_inference): already (J, S, W_pad,
+        # TpC) in compute dtype — no per-dispatch relayout/pad passes
+        if kernel.shape != (J, S, W_pad, TpC):
+            raise ValueError(
+                f"prepared fc_expand kernel {kernel.shape} != "
+                f"{(J, S, W_pad, TpC)}"
+            )
+        k4 = kernel.astype(dt)
+    else:
+        k4 = kernel.astype(dt).reshape(J, S, W, TpC)
+        if W_pad != W:
+            k4 = jnp.pad(k4, ((0, 0), (0, 0), (0, W_pad - W), (0, 0)))
     b3 = bias.astype(jnp.float32).reshape(S, W, TpC)
     if W_pad != W:
-        k4 = jnp.pad(k4, ((0, 0), (0, 0), (0, W_pad - W), (0, 0)))
         b3 = jnp.pad(b3, ((0, 0), (0, W_pad - W), (0, 0)))
     # tap-reversed, lane-tile-padded composed decode matrix: column block i
     # holds tap τ = ktaps−1−i, so g.reshape(BB, ktaps, TMp)[:, i] adds to

@@ -100,9 +100,9 @@ class OnlineSeparator:
         self.preset = preset
         # collapsed-encoder weights are composed ONCE here, not per
         # chunk dispatch (models/convsep.py::precompose_collapsed)
-        from convsep_tpu.models.convsep import precompose_collapsed
+        from convsep_tpu.models.convsep import precompose_collapsed, prepare_inference
 
-        self.params = precompose_collapsed(params, m)
+        self.params = prepare_inference(m, precompose_collapsed(params, m))
         self.chunk_segments = int(chunk_segments)
         self.output_dtype = output_dtype
         self.input_dtype = input_dtype

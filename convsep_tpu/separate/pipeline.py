@@ -328,6 +328,13 @@ class Separator:
         conserve_last: bool = False,
         complement_last: bool = False,
     ):
+        if apply_fn is None:
+            # one-time fc_expand prep for the fused Mosaic decode — the raw
+            # leaf costs ~8 ms of relayout/pad HBM passes per dispatch
+            # (models.convsep.prepare_inference; no-op for other decoders)
+            from convsep_tpu.models.convsep import prepare_inference
+
+            params = prepare_inference(preset.model, params)
         self.preset = preset
         self.params = params
         self.apply_fn = apply_fn

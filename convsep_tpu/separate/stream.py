@@ -219,6 +219,10 @@ class StreamSeparator:
         conserve_last: bool = False,
         complement_last: bool = False,
     ):
+        if apply_fn is None:
+            from convsep_tpu.models.convsep import prepare_inference
+
+            params = prepare_inference(preset.model, params)
         self.preset = preset
         self.mesh = mesh
         if apply_fn is not None and preset.model.decoder_reduce == "all":

@@ -115,3 +115,26 @@ def test_decoder_auto_resolves_on_cpu():
     np.testing.assert_allclose(
         np.asarray(m.apply(params, x)), np.asarray(ref.apply(params, x))
     )
+
+
+def test_prepare_inference_dec_cache(rng):
+    """prepare_inference (r4): the pre-prepared dec_cache kernel must give
+    bitwise the result of the raw leaf (the prep is the same reshape/pad
+    the kernel path does per dispatch, hoisted), and must no-op for
+    configs that don't resolve to the fused decode."""
+    from convsep_tpu.models.convsep import prepare_inference
+
+    cfg = dataclasses.replace(CFG, decoder_impl="bandconv_pallas")
+    m = ConvSep(cfg)
+    x = jnp.asarray(
+        np.abs(rng.standard_normal((5, 30, 129, 1))).astype(np.float32)
+    )
+    params = m.init(jax.random.PRNGKey(4), x)
+    prepared = prepare_inference(cfg, params)
+    assert "dec_cache" in prepared and prepared["dec_cache"]["k4"].ndim == 4
+    np.testing.assert_array_equal(
+        np.asarray(m.apply(prepared, x)), np.asarray(m.apply(params, x))
+    )
+    # idempotent + no-op off the pallas decoder
+    assert prepare_inference(cfg, prepared) is prepared
+    assert prepare_inference(CFG, params) is params
