@@ -619,11 +619,19 @@ class _FcExpandParams(nn.Module):
     @nn.compact
     def __call__(self) -> tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.config
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (cfg.bottleneck, cfg.num_sources * cfg.enc_flat),
-        )
+        if self.has_variable("dec_cache", "k4"):
+            # prepared form REPLACES the raw leaf (prepare_inference drops
+            # it from the pytree): keeping both would double the weight's
+            # HBM footprint — the +827 MB tipped multires4096's b32 row
+            # and the watermark probe into RESOURCE_EXHAUSTED (bench run
+            # 2026-08-20)
+            kernel = self.get_variable("dec_cache", "k4")
+        else:
+            kernel = self.param(
+                "kernel",
+                nn.initializers.lecun_normal(),
+                (cfg.bottleneck, cfg.num_sources * cfg.enc_flat),
+            )
         bias = self.param(
             "bias", nn.initializers.zeros, (cfg.num_sources * cfg.enc_flat,)
         )
@@ -736,8 +744,12 @@ def prepare_inference(cfg: "ConvSepConfig", variables):
     the 827 MB highres4096 leaf — ~8 ms, HALF the single-track device time
     (b32 trace 2026-08-20) — re-executed on EVERY dispatch because XLA
     cannot hoist transformations of a traced argument. Calling this once
-    per separator moves it off the dispatch path entirely. Training and
-    checkpoints always use the raw leaf."""
+    per separator moves it off the dispatch path entirely. The raw leaf is
+    REMOVED from the returned pytree (the module reads the dec_cache form
+    instead): keeping both doubles the weight's HBM footprint, which
+    tipped multires4096 b32 + the watermark probe into OOM (bench run
+    2026-08-20). Training and checkpoints always use the raw leaf; never
+    checkpoint a prepared pytree."""
     if (
         resolve_decoder_impl(cfg) != "bandconv_pallas"
         or not isinstance(variables, dict)
@@ -766,7 +778,16 @@ def prepare_inference(cfg: "ConvSepConfig", variables):
             k4 = jnp.pad(k4, ((0, 0), (0, 0), (0, W_pad - W), (0, 0)))
         return k4
 
-    return {**variables, "dec_cache": {"k4": _prep(kernel)}}
+    k4 = _prep(kernel)
+    # drop the raw leaf (see docstring); the dec_cache entry is scoped to
+    # the fc_expand module path so _FcExpandParams reads it directly
+    fe = {k: v for k, v in variables["params"]["fc_expand"].items() if k != "kernel"}
+    params_wo = {**variables["params"], "fc_expand": fe}
+    return {
+        **variables,
+        "params": params_wo,
+        "dec_cache": {"fc_expand": {"k4": k4}},
+    }
 
 
 def resolve_decoder_impl(cfg: "ConvSepConfig") -> str:
@@ -893,12 +914,11 @@ class ConvSep(nn.Module):
                 band_freq_decode_pallas,
             )
 
+            # _FcExpandParams returns the pre-prepared (J, S, W_pad, TpC)
+            # compute-dtype form when a dec_cache collection is present
+            # (prepare_inference) — skips ~8 ms/dispatch of operand
+            # relayout+pad passes on 4096-pt presets
             kexp, bexp = _FcExpandParams(cfg, name="fc_expand")()
-            if self.has_variable("dec_cache", "k4"):
-                # pre-prepared (J, S, W_pad, TpC) compute-dtype form
-                # (prepare_inference) — skips ~8 ms/dispatch of operand
-                # relayout+pad passes on 4096-pt presets
-                kexp = self.get_variable("dec_cache", "k4")
             TpC = cfg.enc_time * cfg.conv2_filters
             KC, ktaps, T, M = band_freq_conv_kernel(
                 k2c, k1c, cfg.enc_time, cfg.conv1_freq_stride

@@ -131,7 +131,10 @@ def test_prepare_inference_dec_cache(rng):
     )
     params = m.init(jax.random.PRNGKey(4), x)
     prepared = prepare_inference(cfg, params)
-    assert "dec_cache" in prepared and prepared["dec_cache"]["k4"].ndim == 4
+    assert prepared["dec_cache"]["fc_expand"]["k4"].ndim == 4
+    # the raw leaf is DROPPED (keeping both doubled the weight's HBM
+    # footprint and OOMed the bench — 2026-08-20)
+    assert "kernel" not in prepared["params"]["fc_expand"]
     np.testing.assert_array_equal(
         np.asarray(m.apply(prepared, x)), np.asarray(m.apply(params, x))
     )
