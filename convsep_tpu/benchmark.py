@@ -186,6 +186,7 @@ def _matrix_one(
     the guarded body; the ``finally`` frees everything this preset touched
     before the next preset runs."""
     from convsep_tpu.dsp import num_frames
+    from convsep_tpu.dsp.dft import resolve_masked_synthesis
 
     cfg = preset.model
     stereo = cfg.decoder_reduce == "all"
@@ -244,6 +245,16 @@ def _matrix_one(
             # which decoder implementation the preset's rows actually ran
             # (VERDICT r3 #3: auto-resolution must be RECORDED, not assumed)
             "decoder": resolve_decoder_impl(cfg),
+            # masked-resynthesis routing actually engaged (dft.istft_wiener
+            # auto envelope — recorded via the same resolver the dispatch
+            # uses, never assumed)
+            "masked_synthesis": resolve_masked_synthesis(
+                preset.transform.masked_synthesis,
+                preset.transform.nfft or preset.transform.frame_size,
+                preset.transform.frame_size,
+                preset.transform.hop_size,
+                preset.sep.wiener_p,
+            ) if preset.transform.fft_impl == "matmul" else "n/a",
             "params_mb": round(4 * model_param_count(cfg) / 1e6, 1),
             # achieved TFLOP/s + fraction of bf16 peak at this per-track
             # time (VERDICT r1 #4: every preset row carries tflops+mfu)

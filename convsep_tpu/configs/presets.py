@@ -46,6 +46,12 @@ class TransformConfig:
     # the bit-parity knob), "default" (bf16x1, ~3e-3 — too coarse for stem
     # output; kept for ablations).
     dft_precision: str = "high"
+    # Masked-resynthesis routing for fft_impl="matmul" pipelines
+    # (dsp/dft.py::istft_wiener): "auto" (default) = the fused Wiener+iSTFT
+    # Mosaic mega-kernel on TPU for qualifying shapes, XLA mask·(re,im)
+    # elsewhere; "ct_pallas_wiener" forces the kernel; "direct"/"factored"
+    # force the XLA chain with that iDFT algorithm (the A/B lever).
+    masked_synthesis: str = "auto"
     # Multi-resolution analysis (BASELINE config #5): extra window sizes
     # whose magnitudes become additional input channels. They share
     # `hop_size` (so frame grids align exactly) and are frequency-

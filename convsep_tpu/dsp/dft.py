@@ -417,3 +417,86 @@ def istft_matmul(
         win_len,
         precision,
     )
+
+
+def resolve_masked_synthesis(
+    algorithm: str, nfft: int, win_len: int, hop: int, p: float = 1.0
+) -> str:
+    """What :func:`istft_wiener` will actually run for these settings on
+    the current default backend — "ct_pallas_wiener" or the XLA chain's
+    algorithm. The single source of truth for the auto envelope (the bench
+    records this per preset so routing is never assumed)."""
+    if algorithm in ("ct_pallas_wiener", "auto"):
+        from convsep_tpu.dsp.pallas.ct_istft_kernel import ct_pallas_supported
+
+        if algorithm == "ct_pallas_wiener" or (
+            int(nfft) >= 2048
+            and ct_pallas_supported(int(nfft), int(win_len), int(hop))
+            and p in (1.0, 2.0)
+            and jax.default_backend() == "tpu"
+        ):
+            return "ct_pallas_wiener"
+        return "auto"
+    return algorithm
+
+
+def istft_wiener(
+    y: jnp.ndarray,
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    window: np.ndarray,
+    hop: int,
+    length: int,
+    nfft: int | None = None,
+    precision: str = "highest",
+    algorithm: str = "auto",
+    output_dtype: str = "float32",
+    p: float = 1.0,
+    eps: float = 1e-8,
+    conserve_last: bool = False,
+) -> jnp.ndarray:
+    """Masked resynthesis: Wiener-mask the mixture spectrum with per-source
+    magnitudes ``y`` (…, S, nf, bins; sources at axis −3) and iSTFT —
+    semantically ``istft_matmul(mask·re, mask·im, …)`` with ``mask =
+    wiener_mask(y, p, eps, axis=-3, conserve_last)``.
+
+    ``algorithm="auto"`` routes through the fused Wiener+iSTFT Mosaic
+    mega-kernel (dsp/pallas/ct_istft_kernel.istft_ct_pallas_wiener) on TPU
+    whenever the shape/exponent qualify — the masked spectra est_re/est_im
+    (2S full-spectrogram HBM tensors plus their relayout/pad passes, ~38 ms
+    of the highres4096 b32 budget; docs/PALLAS_PROFILE.md addendum 11)
+    never materialize. "ct_pallas_wiener" forces the kernel (error if
+    unsupported); any other value takes the XLA mask+istft path with that
+    algorithm."""
+    if nfft is None:
+        nfft = 2 * (int(re.shape[-1]) - 1)
+    window = np.asarray(window, np.float64)
+    # auto envelope (resolve_masked_synthesis): qualifying shapes with
+    # nfft ≥ 2048 on TPU — where the plain ct kernel already wins and the
+    # est materialization is the measured 38 ms budget item; 1024-pt
+    # engagement pends an on-chip A/B vs the direct-DFT chain
+    explicit = algorithm == "ct_pallas_wiener"
+    algorithm = resolve_masked_synthesis(
+        algorithm, int(nfft), len(window), int(hop), p
+    )
+    if algorithm == "ct_pallas_wiener":
+        if explicit or y.shape[-1] == re.shape[-1]:
+            # explicit requests surface the kernel's own shape errors
+            from convsep_tpu.dsp.pallas.ct_istft_kernel import (
+                istft_ct_pallas_wiener,
+            )
+
+            return istft_ct_pallas_wiener(
+                y, re, im, window, int(hop), int(length), nfft=int(nfft),
+                precision=precision, output_dtype=output_dtype,
+                p=p, eps=eps, conserve_last=conserve_last,
+            )
+        algorithm = "auto"
+    from convsep_tpu.models.masks import wiener_mask
+
+    mask = wiener_mask(y, p=p, eps=eps, axis=-3, conserve_last=conserve_last)
+    return istft_matmul(
+        mask * jnp.expand_dims(re, -3), mask * jnp.expand_dims(im, -3),
+        window, hop, length, nfft=nfft, precision=precision,
+        algorithm=algorithm, output_dtype=output_dtype,
+    )

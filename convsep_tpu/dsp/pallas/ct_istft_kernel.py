@@ -126,6 +126,48 @@ def _dg0(x, y, prec):
     )
 
 
+def _prec_of(prec_name: str):
+    # Mosaic lowers only DEFAULT/HIGHEST dot precisions; "high" (bf16x3)
+    # saturates to HIGHEST here — strictly MORE accurate than asked, and
+    # the stage matmuls are tiny VMEM-resident (128, 128)·(128, G·B) dots,
+    # so the extra MXU passes are noise next to the HBM read of the spectra
+    return {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGHEST,
+        "default": jax.lax.Precision.DEFAULT,
+    }[prec_name]
+
+
+def _group_tile(xr_blk, xi_blk, rows, cr, prec, *, G, half):
+    """Factored iDFT of G frames' half-spectra → windowed (G·B, A) sample
+    tile (t = r'·B + m2 rows, m1 lanes). Shared by the plain and the
+    Wiener-masked kernels — identical math."""
+    bdc, bds, tc, ts, c1, s1, w2, alt, sel = cr
+    A = _A
+    K2 = half // A
+    # (G, K2, 128) view of G frames' half-spectra → (G·K2, 128): the
+    # lane split lands on lane-tile boundaries, the sublane merge is
+    # pure metadata
+    xr = xr_blk[rows, :half].reshape(G * K2, A)
+    xi = xi_blk[rows, :half].reshape(G * K2, A)
+    # stage 1 (contract k2, block-diagonal over the G frames):
+    # (G·K2, A)ᵀ·(G·K2, G·B) → (A k1, G·B t), t = r'·B + m2
+    ar = _dg0(xr, bdc, prec) - _dg0(xi, bds, prec)
+    ai = _dg0(xr, bds, prec) + _dg0(xi, bdc, prec)
+    # twiddle e^{+2πi m2 k1 / N} on (k1, t)
+    br = ar * tc - ai * ts
+    bi = ar * ts + ai * tc
+    # stage 2 (contract k1), real part only: (G·B t, A m1)
+    x = _dg0(br, c1, prec) - _dg0(bi, s1, prec)
+    # hermitian fold + DC/Nyquist corrections + window/N; frame scalars
+    # broadcast to the (t, m1) layout via the selection matmul
+    dc = jnp.dot(sel, xr_blk[rows, 0:1],
+                 preferred_element_type=jnp.float32)      # (G·B, 1)
+    ny = jnp.dot(sel, xr_blk[rows, half:half + 1],
+                 preferred_element_type=jnp.float32)
+    return (2.0 * x - dc + ny * alt) * w2
+
+
 def _kernel(re_ref, im_ref, bdc_ref, bds_ref, tc_ref, ts_ref, c1_ref, s1_ref,
             w2_ref, alt_ref, sel_ref, norm_ref, body_ref, acc, carry,
             *, R, H, nfft, G, prec_name, pcm16):
@@ -138,48 +180,20 @@ def _kernel(re_ref, im_ref, bdc_ref, bds_ref, tc_ref, ts_ref, c1_ref, s1_ref,
     lowered to a slice_add fusion + an aliased dynamic-update-slice + two
     pads over the 753 MB body tensor — ~7.9 ms per vmap8 highres4096
     batch, ~11% of the program (trace 2026-08-19)."""
-    # Mosaic lowers only DEFAULT/HIGHEST dot precisions; "high" (bf16x3)
-    # saturates to HIGHEST here — strictly MORE accurate than asked, and
-    # the stage matmuls are tiny VMEM-resident (128, 128)·(128, G·B) dots,
-    # so the extra MXU passes are noise next to the HBM read of the spectra
-    prec = {
-        "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGHEST,
-        "default": jax.lax.Precision.DEFAULT,
-    }[prec_name]
-    A = _A
+    prec = _prec_of(prec_name)
     half = nfft // 2
-    B = nfft // A
-    K2 = half // A
+    B = nfft // _A
     HB = H // B          # m1 lanes per hop block
     k_ratio = nfft // H  # frames overlapping one hop row
+    cr = (bdc_ref[:], bds_ref[:], tc_ref[:], ts_ref[:], c1_ref[:], s1_ref[:],
+          w2_ref[:], alt_ref[:], sel_ref[:])
 
     acc[:] = jnp.zeros_like(acc)
     xr_blk = re_ref[0]
     xi_blk = im_ref[0]
     for g in range(R // G):
-        # (G, K2, 128) view of G frames' half-spectra → (G·K2, 128): the
-        # lane split lands on lane-tile boundaries, the sublane merge is
-        # pure metadata
         rows = slice(g * G, (g + 1) * G)
-        xr = xr_blk[rows, :half].reshape(G * K2, A)
-        xi = xi_blk[rows, :half].reshape(G * K2, A)
-        # stage 1 (contract k2, block-diagonal over the G frames):
-        # (G·K2, A)ᵀ·(G·K2, G·B) → (A k1, G·B t), t = r'·B + m2
-        ar = _dg0(xr, bdc_ref[:], prec) - _dg0(xi, bds_ref[:], prec)
-        ai = _dg0(xr, bds_ref[:], prec) + _dg0(xi, bdc_ref[:], prec)
-        # twiddle e^{+2πi m2 k1 / N} on (k1, t)
-        br = ar * tc_ref[:] - ai * ts_ref[:]
-        bi = ar * ts_ref[:] + ai * tc_ref[:]
-        # stage 2 (contract k1), real part only: (G·B t, A m1)
-        x = _dg0(br, c1_ref[:], prec) - _dg0(bi, s1_ref[:], prec)
-        # hermitian fold + DC/Nyquist corrections + window/N; frame scalars
-        # broadcast to the (t, m1) layout via the selection matmul
-        dc = jnp.dot(sel_ref[:], xr_blk[rows, 0:1],
-                     preferred_element_type=jnp.float32)      # (G·B, 1)
-        ny = jnp.dot(sel_ref[:], xr_blk[rows, half:half + 1],
-                     preferred_element_type=jnp.float32)
-        x = (2.0 * x - dc + ny * alt_ref[:]) * w2_ref[:]
+        x = _group_tile(xr_blk, xi_blk, rows, cr, prec, G=G, half=half)
         # permuted local OLA: sample n = B·m1 + m2; hop block h is the
         # contiguous m1-lane slice [h·HB, (h+1)·HB); rows split back to
         # (G, B, HB) tiles and shift by h hop rows
@@ -341,3 +355,238 @@ def istft_ct_pallas(
                 int(length), win_len, int(nfft), precision, interpret,
                 pcm16=output_dtype == "int16")
     return out.reshape(*lead, length) if lead else out[0]
+
+
+# ---------------------------------------------------------------------------
+# Wiener + iSTFT mega-kernel
+#
+# docs/PALLAS_PROFILE.md addendum 11 budget: at highres4096 b32, the masked
+# spectra est_re/est_im = mask·(re, im) cost ~29 ms of XLA relayout+pad HBM
+# passes feeding the plain kernel, plus ~9 ms for the Wiener fusion itself —
+# every pass a near-bandwidth sweep of the (32, 4, 1442, 2049) f32 family.
+# The masked spectra never need to exist: this kernel reads the model's
+# per-source magnitudes y (S per track) + the mixture halves re/im (2 per
+# track) and computes mask_s = relu(y_s)^p / (Σ relu(y_j)^p + eps), the
+# complex multiply, and the full factored iDFT + window + OLA in VMEM.
+# HBM traffic per track drops from 2S est units (+ the passes that wrote
+# them: S y reads + 2 mix reads + 2S est writes + relayout/pad re-reads)
+# to S + 2 units read, once.
+# ---------------------------------------------------------------------------
+
+
+def _wiener_kernel(y_ref, re_ref, im_ref, bdc_ref, bds_ref, tc_ref, ts_ref,
+                   c1_ref, s1_ref, w2_ref, alt_ref, sel_ref, norm_ref,
+                   body_ref, acc, carry,
+                   *, R, H, nfft, G, S, prec_name, pcm16, p, eps,
+                   conserve_last):
+    """One (R frames) block of ONE track, all S sources: Wiener mask +
+    complex multiply + factored iDFT + window + permuted OLA in VMEM.
+
+    Mask semantics == models.masks.wiener_mask (axis = sources): mask_s =
+    relu(y_s)^p / (Σ_j relu(y_j)^p + eps); ``conserve_last`` adds the eps
+    shortfall to the LAST source (masks sum to exactly 1 — the
+    complement-fetch contract). Frame-padding rows have y = re = im = 0,
+    so their mask·spectrum is 0 under either mode."""
+    prec = _prec_of(prec_name)
+    half = nfft // 2
+    B = nfft // _A
+    HB = H // B
+    k_ratio = nfft // H
+    cr = (bdc_ref[:], bds_ref[:], tc_ref[:], ts_ref[:], c1_ref[:], s1_ref[:],
+          w2_ref[:], alt_ref[:], sel_ref[:])
+
+    def _pow(v):
+        v = jnp.maximum(v, 0.0)
+        return v * v if p == 2.0 else v
+
+    yv = y_ref[0]          # (S, R, bins)
+    re_blk = re_ref[0]     # (R, bins)
+    im_blk = im_ref[0]
+    denom = jnp.full(re_blk.shape, jnp.float32(eps))
+    for s in range(S):
+        denom = denom + _pow(yv[s])
+    inv_den = 1.0 / denom
+    norm = norm_ref[:]
+    for s in range(S):
+        yp = _pow(yv[s])
+        if conserve_last and s == S - 1:
+            yp = yp + jnp.float32(eps)
+        m = yp * inv_den
+        er = m * re_blk
+        ei = m * im_blk
+        acc[s] = jnp.zeros_like(acc[s])
+        for g in range(R // G):
+            rows = slice(g * G, (g + 1) * G)
+            x = _group_tile(er, ei, rows, cr, prec, G=G, half=half)
+            for h in range(k_ratio):
+                chunk = x[:, h * HB:(h + 1) * HB].reshape(G, B, HB)
+                acc[s, g * G + h:g * G + h + G] += chunk
+
+        @pl.when(pl.program_id(1) != 0)
+        def _fold_carry():
+            acc[s, 0:8] += carry[s]
+
+        carry[s] = acc[s, R:R + 8]
+        out = acc[s, :R] * norm
+        if pcm16:
+            out = jnp.clip(jnp.round(out * 32768.0), -32768.0, 32767.0)
+            out = out.astype(jnp.int16)
+        body_ref[0, s] = out
+
+
+def _pick_r_wiener(nfft: int, bins: int, S: int, G: int, H: int) -> int:
+    """Frames per block: largest multiple of G in {64, 32, 16, 8, G} whose
+    VMEM footprint estimate fits. The plain kernel's measured envelope
+    (R=128 → 17.22 MB, over scope; R=64 fits) calibrates the constant:
+    double-buffered streamed blocks + scratch + ~4 block-sized temporaries
+    (denom / er / ei / group tiles)."""
+    for R in (64, 32, 16, 8):
+        if R < G or R % G:
+            continue
+        stream = 2 * (S + 2) * R * bins * 4  # dbuf y + re + im blocks
+        scratch = S * (R + 8) * H * 4 + S * 8 * H * 4
+        out = 2 * S * R * H * 4
+        temps = 6 * R * bins * 4
+        if stream + scratch + out + temps <= 12 * 2 ** 20:
+            return R
+    return G
+
+
+def _impl_wiener(y, re, im, consts, inv_norm, hop, length, win_len, nfft,
+                 precision, interpret, p, eps, conserve_last, pcm16=False):
+    H = hop
+    k_ratio = win_len // H
+    Nt, S, nf, bins = y.shape
+    G = consts["G"]
+    R = max(_pick_r_wiener(nfft, bins, S, G, H), G)
+    n_blocks = -(-(nf + k_ratio - 1) // R)
+    pad_f = n_blocks * R - nf
+    if pad_f:
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, pad_f), (0, 0)))
+        re = jnp.pad(re, ((0, 0), (0, pad_f), (0, 0)))
+        im = jnp.pad(im, ((0, 0), (0, pad_f), (0, 0)))
+    B = consts["B"]
+    HB = H // B
+    total = (nf - 1) * H + win_len
+    flat = np.zeros(n_blocks * R * H, np.float32)
+    flat[:total] = np.asarray(inv_norm, np.float32)
+    norm_perm = jnp.asarray(
+        np.ascontiguousarray(
+            flat.reshape(n_blocks * R, HB, B).transpose(0, 2, 1)
+        )
+    )
+    out_dt = jnp.int16 if pcm16 else jnp.float32
+    cargs = [jnp.asarray(consts[k]) for k in
+             ("bd_c", "bd_s", "tc", "ts", "c1", "s1", "w2", "alt", "sel")]
+    cspecs = [pl.BlockSpec(c.shape, lambda b, j: (0,) * c.ndim,
+                           memory_space=pltpu.VMEM) for c in cargs]
+    body = pl.pallas_call(
+        partial(_wiener_kernel, R=R, H=H, nfft=nfft, G=G, S=S,
+                prec_name=precision, pcm16=pcm16, p=p, eps=eps,
+                conserve_last=conserve_last),
+        grid=(Nt, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, S, R, bins), lambda b, j: (b, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, bins), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, bins), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            *cspecs,
+            pl.BlockSpec((R, B, HB), lambda b, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S, R, B, HB), lambda b, j: (b, 0, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Nt, S, n_blocks * R, B, HB), out_dt),
+        scratch_shapes=[
+            pltpu.VMEM((S, R + 8, B, HB), jnp.float32),
+            pltpu.VMEM((S, 8, B, HB), jnp.float32),  # cross-block spill carry
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Nt * S * n_blocks * R * (2 * 128 * 128 * G * B
+                                               + 128 * G * B * 128) // G,
+            bytes_accessed=Nt * n_blocks * R * (4 * (S + 2) * bins
+                                                + S * (2 if pcm16 else 4) * H),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(y, re, im, *cargs, norm_perm)
+    # XLA-side fixup: unpermute the (m2, m1') tiles to j = B·m1' + m2
+    # sample order (same as the plain kernel)
+    data = body.swapaxes(-1, -2).reshape(Nt, S, n_blocks * R * H)
+    front = win_len // 2
+    return data[..., front:front + length]
+
+
+def istft_ct_pallas_wiener(
+    y: jnp.ndarray,
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    window: np.ndarray,
+    hop: int,
+    length: int,
+    analysis_window: np.ndarray | None = None,
+    nfft: int | None = None,
+    precision: str = "highest",
+    interpret: bool | None = None,
+    output_dtype: str = "float32",
+    p: float = 1.0,
+    eps: float = 1e-8,
+    conserve_last: bool = False,
+) -> jnp.ndarray:
+    """Fused Wiener-mask + iSTFT: y (…, S, nf, bins) nonneg source
+    magnitudes + re/im (…, nf, bins) mixture halves → stems (…, S, length).
+
+    Drop-in for ``istft_matmul(mask·re, mask·im, …)`` with ``mask =
+    wiener_mask(y, p, eps, axis=-3, conserve_last)`` — the masked spectra
+    never materialize in HBM (docs/PALLAS_PROFILE.md addendum 11). p must
+    be 1 or 2 (the kernel envelope; other exponents take the XLA path)."""
+    if interpret is None:
+        from convsep_tpu.dsp.pallas import interpret_default
+
+        interpret = interpret_default()
+    window = np.asarray(window, np.float64)
+    win_len = len(window)
+    if nfft is None:
+        nfft = 2 * (int(re.shape[-1]) - 1)
+    if not ct_pallas_supported(int(nfft), win_len, int(hop)) or p not in (1.0, 2.0):
+        raise ValueError(
+            f"istft_ct_pallas_wiener unsupported for nfft={nfft} "
+            f"win={win_len} hop={hop} p={p}; use wiener_mask + istft_matmul"
+        )
+    if y.shape[-1] != re.shape[-1] or y.shape[-2] != re.shape[-2]:
+        raise ValueError(f"y {y.shape} does not align with re/im {re.shape}")
+    if analysis_window is None:
+        analysis_window = window
+    expect = num_frames(length, hop)
+    if int(re.shape[-2]) != expect:
+        raise ValueError(
+            f"re/im have {re.shape[-2]} frames but length={length}, "
+            f"hop={hop} implies {expect}"
+        )
+    lead = re.shape[:-2]
+    if y.shape[: len(lead)] != lead or y.ndim != len(lead) + 3:
+        raise ValueError(
+            f"y must be re/im's shape {re.shape} with one sources axis "
+            f"inserted at -3, got {y.shape}"
+        )
+    S = int(y.shape[-3])
+    Nt = int(np.prod(lead)) if lead else 1
+    y4 = jnp.asarray(y, jnp.float32).reshape(Nt, S, expect, y.shape[-1])
+    re3 = jnp.asarray(re, jnp.float32).reshape(Nt, expect, re.shape[-1])
+    im3 = jnp.asarray(im, jnp.float32).reshape(Nt, expect, im.shape[-1])
+    inv_norm = 1.0 / ola_norm(
+        window.astype(np.float32), np.asarray(analysis_window, np.float32),
+        int(hop), expect,
+    )
+    consts = _ct_pallas_consts(
+        int(nfft), tuple(np.asarray(window, np.float64).tolist())
+    )
+    if output_dtype not in ("float32", "int16"):
+        raise ValueError(f"output_dtype must be float32|int16, got {output_dtype}")
+    out = _impl_wiener(y4, re3, im3, consts, inv_norm, int(hop), int(length),
+                       win_len, int(nfft), precision, interpret,
+                       float(p), float(eps), bool(conserve_last),
+                       pcm16=output_dtype == "int16")
+    return out.reshape(*lead, S, length) if lead else out[0]

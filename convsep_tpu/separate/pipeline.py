@@ -31,7 +31,7 @@ import numpy as np
 from convsep_tpu.configs.presets import Preset
 from convsep_tpu.data.segment import segment_frames, unsegment_frames
 from convsep_tpu.dsp import istft, num_frames, scale_magnitude, stft, hann
-from convsep_tpu.dsp.dft import istft_matmul, stft_matmul
+from convsep_tpu.dsp.dft import istft_wiener, stft_matmul
 from convsep_tpu.dsp.windows import sinebell as _sinebell
 from convsep_tpu.models.convsep import ConvSep
 from convsep_tpu.models.masks import wiener_mask
@@ -194,19 +194,23 @@ def separate_fused(
             y_frames, re, im, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps
         )
         stems = istft_pallas(est_re, est_im, win, t.hop_size, length, nfft=t.nfft)
+    elif t.fft_impl == "matmul":
+        # masked resynthesis in ONE call: on TPU the fused Wiener+iSTFT
+        # mega-kernel (qualifying shapes) never materializes the masked
+        # spectra; elsewhere the XLA wiener_mask·(re, im) chain. PCM16
+        # output quantizes inside the synthesis either way.
+        return istft_wiener(
+            y_frames, re, im, win, t.hop_size, length, nfft=t.nfft,
+            precision=t.dft_precision, algorithm=t.masked_synthesis,
+            output_dtype=output_dtype,
+            p=preset.sep.wiener_p, eps=preset.sep.wiener_eps,
+            conserve_last=conserve_last,
+        )
     else:
         mask = wiener_mask(
             y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=0,
             conserve_last=conserve_last,
         )  # (S, nf, bins); real mask ⇒ mixture phase kept
-        if t.fft_impl == "matmul":
-            # PCM16 output quantizes inside the synthesis (the ct_pallas
-            # kernel epilogue on qualifying shapes — half the HBM writes)
-            return istft_matmul(
-                mask * re[None], mask * im[None], win, t.hop_size, length,
-                nfft=t.nfft, precision=t.dft_precision,
-                output_dtype=output_dtype,
-            )
         est_spec = mask * spec[None]  # (S, nf, bins) complex
         stems = istft(est_spec, win, t.hop_size, length, nfft=t.nfft)
     if output_dtype == "int16":
@@ -294,15 +298,20 @@ def separate_fused_batch(
     y_frames = unsegment_frames(y, nf)  # (B, S, nf, F)
     y_frames = _score_gate(y_frames, extra, mag, preset, src_axis=1)
 
+    if t.fft_impl == "matmul":
+        # fused Wiener+iSTFT on TPU (masked spectra never materialize);
+        # XLA mask·(re, im) chain elsewhere — identical math
+        return istft_wiener(
+            y_frames, re, im, win, t.hop_size, length, nfft=t.nfft,
+            precision=t.dft_precision, algorithm=t.masked_synthesis,
+            output_dtype=output_dtype,
+            p=preset.sep.wiener_p, eps=preset.sep.wiener_eps,
+            conserve_last=conserve_last,
+        )
     mask = wiener_mask(
         y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=1,
         conserve_last=conserve_last,
     )  # (B, S, nf, bins)
-    if t.fft_impl == "matmul":
-        return istft_matmul(
-            mask * re[:, None], mask * im[:, None], win, t.hop_size, length,
-            nfft=t.nfft, precision=t.dft_precision, output_dtype=output_dtype,
-        )
     stems = istft(mask * spec[:, None], win, t.hop_size, length, nfft=t.nfft)
     if output_dtype == "int16":
         from convsep_tpu.utils.pcm import quantize_pcm16
