@@ -35,6 +35,20 @@ _STATE = "state"
 _META = "meta"
 
 
+def _has_prepared_leaves(tree: Any) -> bool:
+    """True if `tree` contains inference-prepared caches (ADVICE r4):
+    `prepare_inference` DROPS the raw f32 fc_expand kernel and stores a
+    compute-dtype (possibly bf16, lossy) `dec_cache` form in its place, and
+    `precompose_collapsed` adds a derived `enc_cache` — checkpointing such
+    a pytree would silently lose the master weight."""
+    if isinstance(tree, dict):
+        if "dec_cache" in tree or "enc_cache" in tree:
+            return True
+        return any(_has_prepared_leaves(v) for v in tree.values())
+    params = getattr(tree, "params", None)  # TrainState-style containers
+    return isinstance(params, dict) and _has_prepared_leaves(params)
+
+
 class CheckpointManager:
     def __init__(
         self,
@@ -100,6 +114,12 @@ class CheckpointManager:
     def save(self, step: int, state: Any, extra: dict | None = None) -> None:
         """Atomic save; `extra` (JSON-serializable) rides as a composite
         item for mid-epoch resume metadata."""
+        if _has_prepared_leaves(state):
+            raise ValueError(
+                "refusing to checkpoint an inference-prepared pytree "
+                "(dec_cache/enc_cache present): prepare_inference drops the "
+                "raw f32 fc_expand weight — save the ORIGINAL params instead"
+            )
         if self._async and not self._wait_with_timeout(self._timeout):
             self._fallback_to_sync("save")
         args = ocp.args.Composite(

@@ -158,15 +158,17 @@ def _cmd_separate(args) -> int:
         preset = dataclasses.replace(
             preset, sep=dataclasses.replace(preset.sep, wiener_p=args.wiener_p)
         )
-    if args.score_gate:
-        preset = dataclasses.replace(
-            preset,
-            sep=dataclasses.replace(
-                preset.sep,
-                score_gate=args.score_gate,
-                score_gate_mode=args.score_gate_mode,
-            ),
-        )
+    # mode applies unconditionally (a no-op at g=0) so `--score-gate-mode
+    # blend` is honored even if a preset ever ships a nonzero default gate
+    # (ADVICE r4)
+    preset = dataclasses.replace(
+        preset,
+        sep=dataclasses.replace(
+            preset.sep,
+            score_gate=args.score_gate or preset.sep.score_gate,
+            score_gate_mode=args.score_gate_mode,
+        ),
+    )
     params = _load_params(args.params, preset, allow_unsafe=args.unsafe_pickle)
     if args.online:
         # push/flush live-streaming mode (SURVEY.md §1 L5 — VERDICT r3 #6:

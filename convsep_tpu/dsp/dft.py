@@ -364,11 +364,14 @@ def istft_matmul(
 
         explicit = algorithm == "ct_pallas"
         # auto engages only where factored already wins (nfft >= 2048) AND
-        # a real TPU is the backend (interpret mode would be a de-opt)
+        # a real TPU is the target device (interpret mode would be a
+        # de-opt); device-aware per VERDICT r4 #7
+        from convsep_tpu.utils.backend import effective_backend
+
         if explicit or (
             _use_factored(algorithm, int(nfft))
             and ct_pallas_supported(int(nfft), win_len, int(hop))
-            and jax.default_backend() == "tpu"
+            and effective_backend(re, im) == "tpu"
         ):
             return istft_ct_pallas(
                 re, im, window, int(hop), int(length),
@@ -420,24 +423,31 @@ def istft_matmul(
 
 
 def resolve_masked_synthesis(
-    algorithm: str, nfft: int, win_len: int, hop: int, p: float = 1.0
+    algorithm: str, nfft: int, win_len: int, hop: int, p: float = 1.0,
+    arrays: tuple = (),
 ) -> str:
     """What :func:`istft_wiener` will actually run for these settings on
     the current default backend — "ct_pallas_wiener" or the XLA chain's
-    algorithm. The single source of truth for the auto envelope (the bench
-    records this per preset so routing is never assumed)."""
-    if algorithm in ("ct_pallas_wiener", "auto"):
-        from convsep_tpu.dsp.pallas.ct_istft_kernel import ct_pallas_supported
+    CONCRETE algorithm ("ct_pallas" | "factored" | "direct" — never the
+    literal "auto"; ADVICE r4). The single source of truth for the auto
+    envelope (the bench records this per preset so routing is never
+    assumed)."""
+    if algorithm not in ("ct_pallas_wiener", "auto"):
+        return algorithm
+    from convsep_tpu.dsp.pallas.ct_istft_kernel import ct_pallas_supported
+    from convsep_tpu.utils.backend import effective_backend
 
-        if algorithm == "ct_pallas_wiener" or (
-            int(nfft) >= 2048
-            and ct_pallas_supported(int(nfft), int(win_len), int(hop))
-            and p in (1.0, 2.0)
-            and jax.default_backend() == "tpu"
-        ):
-            return "ct_pallas_wiener"
-        return "auto"
-    return algorithm
+    kernel_ok = ct_pallas_supported(int(nfft), int(win_len), int(hop))
+    on_tpu = effective_backend(*arrays) == "tpu"
+    if algorithm == "ct_pallas_wiener" or (
+        int(nfft) >= 2048 and kernel_ok and p in (1.0, 2.0) and on_tpu
+    ):
+        return "ct_pallas_wiener"
+    # name what istft_matmul's own "auto" will run for these settings —
+    # the same envelope checks it applies at dispatch
+    if _use_factored("auto", int(nfft)):
+        return "ct_pallas" if kernel_ok and on_tpu else "factored"
+    return "direct"
 
 
 def istft_wiener(
@@ -477,7 +487,7 @@ def istft_wiener(
     # engagement pends an on-chip A/B vs the direct-DFT chain
     explicit = algorithm == "ct_pallas_wiener"
     algorithm = resolve_masked_synthesis(
-        algorithm, int(nfft), len(window), int(hop), p
+        algorithm, int(nfft), len(window), int(hop), p, arrays=(y, re, im)
     )
     if algorithm == "ct_pallas_wiener":
         if explicit or y.shape[-1] == re.shape[-1]:

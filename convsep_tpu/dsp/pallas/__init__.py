@@ -3,10 +3,11 @@
 
 def interpret_default() -> bool:
     """Mosaic kernels compile on TPU only; anywhere else (CPU CI, the
-    forced-host-platform mesh tests) run them in interpreter mode."""
-    import jax
+    forced-host-platform mesh tests, a CPU jit inside a TPU process) run
+    them in interpreter mode. Device-aware (VERDICT r4 #7)."""
+    from convsep_tpu.utils.backend import effective_backend
 
-    return jax.default_backend() != "tpu"
+    return effective_backend() != "tpu"
 
 
 from convsep_tpu.dsp.pallas.stft_kernel import stft_pallas  # noqa: E402

@@ -752,6 +752,11 @@ def prepare_inference(cfg: "ConvSepConfig", variables):
     checkpoint a prepared pytree."""
     if (
         resolve_decoder_impl(cfg) != "bandconv_pallas"
+        # the ConvSep pallas branch additionally requires the w-major
+        # expansion layout; an explicit decoder_impl="bandconv_pallas" with
+        # expand_order="tmajor" falls through to decoders that declare the
+        # raw kernel leaf, which must NOT be dropped (ADVICE r4)
+        or cfg.expand_order != "wmajor"
         or not isinstance(variables, dict)
         or "dec_cache" in variables
         or "params" not in variables
@@ -802,20 +807,21 @@ def resolve_decoder_impl(cfg: "ConvSepConfig") -> str:
     ran (VERDICT r3 #3: the kernel's value was asserted in commit messages
     but never recorded in a bench artifact).
 
-    NOTE (ADVICE r3): resolution keys on ``jax.default_backend()`` at
-    trace time — a process-global — not the device the jit targets. A jit
-    placed on a non-default backend bakes in the wrong branch; "auto"
-    assumes default-backend execution. Pin ``decoder_impl`` explicitly
-    when tracing for a non-default device.
+    Resolution is device-aware (utils.backend.effective_backend, VERDICT
+    r4 #7): a jit targeting a non-default backend via
+    ``jax.default_device`` resolves against THAT device's platform, not
+    the process-global default — a CPU jit inside a TPU process no longer
+    bakes in the Mosaic branch.
     """
     if cfg.decoder_impl != "auto":
         return cfg.decoder_impl
     from convsep_tpu.models.decoder_fused_pallas import fused_decode_supported
+    from convsep_tpu.utils.backend import effective_backend
 
     ktaps = -(-cfg.conv1_freq // cfg.conv1_freq_stride)
     if (
         cfg.expand_order == "wmajor"
-        and jax.default_backend() == "tpu"
+        and effective_backend() == "tpu"
         and fused_decode_supported(
             cfg.enc_time * cfg.conv2_filters,
             cfg.time_context * cfg.conv1_freq_stride * cfg.channels_in,
