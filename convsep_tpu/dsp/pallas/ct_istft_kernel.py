@@ -28,9 +28,11 @@ TPU-native structure (see docs/PALLAS_PROFILE.md addendum 10):
   window·(1/N), and the local OLA all happen in registers/VMEM;
 * output samples emerge indexed n = B·m1 + m2 — the kernel overlap-adds
   in that PERMUTED layout (hop block h = m1 // (H/B) is a contiguous
-  lane slice) and emits (m2, m1')-tiled hop rows; the cheap unpermute of
-  the hop-summed output (190 MB, not the 755 MB frame tensor) runs in
-  XLA, fused into the spill fold.
+  lane slice); the epilogue unpermutes each hop row to sample order
+  IN VMEM via MXU identity dots (_transpose_rows — the XLA-side fixup
+  this replaces lowered to a while loop of full-track
+  dynamic-update-slices, 30.6 ms of the 235 ms highres4096 b32 dispatch,
+  trace 2026-08-20), so the body reaches HBM already flat-mergeable.
 
 Reference parity: semantics identical to dsp/dft.istft_matmul
 (algorithm="factored") — window-power OLA normalization, W//2 front trim
@@ -126,6 +128,41 @@ def _dg0(x, y, prec):
     )
 
 
+def _eye(n: int):
+    """In-kernel f32 identity (iota compare — no extra operand)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (r == c).astype(jnp.float32)
+
+
+def _transpose_rows(out, eye, pcm16):
+    """(R, B, HB) → per-row (HB, B) tiles via MXU identity dots.
+
+    The body unpermute (m2, m1') → sample order n = B·m1' + m2 moved
+    in-kernel: Mosaic vector transposes/reshapes crash or hang this
+    toolchain (swapaxes / lane-merge reshape probes 2026-08-20:
+    compile-helper HTTP 500 or >240 s hang), but an identity dot_general
+    at HIGHEST precision is an EXACT f32 transpose (bf16x3 covers the full
+    f32 mantissa; on-chip probe: bitwise equal, cost indistinguishable
+    from a passthrough kernel). The XLA-side fixup this replaces lowered
+    to a while loop + 128 full-track dynamic-update-slices — 30.6 ms of
+    the 235 ms highres4096 b32 dispatch (trace 2026-08-20)."""
+    rows = []
+    for r in range(out.shape[0]):
+        # out[i, k] = Σ_l eye[i, l]·x[k, l] = x.T — lhs/rhs both contract
+        # their LANE dim (a native MXU B·Aᵀ pass)
+        t = jax.lax.dot_general(
+            eye, out[r], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if pcm16:
+            t = jnp.clip(jnp.round(t * 32768.0), -32768.0, 32767.0)
+            t = t.astype(jnp.int16)
+        rows.append(t)
+    return rows
+
+
 def _prec_of(prec_name: str):
     # Mosaic lowers only DEFAULT/HIGHEST dot precisions; "high" (bf16x3)
     # saturates to HIGHEST here — strictly MORE accurate than asked, and
@@ -212,14 +249,13 @@ def _kernel(re_ref, im_ref, bdc_ref, bds_ref, tc_ref, ts_ref, c1_ref, s1_ref,
 
     carry[:] = acc[R:R + 8]
     # epilogue in VMEM: window-power OLA normalization (norm_ref is the
-    # inv-norm permuted to the kernel's (row, m2, m1') sample order) and —
-    # on the int16 serving path — PCM16 quantization, halving the kernel's
-    # HBM writes AND the downstream unpermute-repack bytes
+    # inv-norm permuted to the kernel's (row, m2, m1') accumulator order),
+    # the (m2, m1') → sample-order unpermute via MXU identity dots
+    # (_transpose_rows), and — on the int16 serving path — PCM16
+    # quantization, halving the kernel's HBM writes
     out = acc[:R] * norm_ref[:]
-    if pcm16:
-        out = jnp.clip(jnp.round(out * 32768.0), -32768.0, 32767.0)
-        out = out.astype(jnp.int16)
-    body_ref[0] = out
+    for r, t in enumerate(_transpose_rows(out, _eye(out.shape[-1]), pcm16)):
+        body_ref[0, r] = t
 
 
 def _impl(re, im, consts, inv_norm, hop, length, win_len, nfft, precision,
@@ -272,9 +308,9 @@ def _impl(re, im, consts, inv_norm, hop, length, win_len, nfft, precision,
             pl.BlockSpec((R, B, HB), lambda b, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, R, B, HB), lambda b, j: (b, j, 0, 0),
+        out_specs=pl.BlockSpec((1, R, HB, B), lambda b, j: (b, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, n_blocks * R, B, HB), out_dt),
+        out_shape=jax.ShapeDtypeStruct((N, n_blocks * R, HB, B), out_dt),
         scratch_shapes=[
             pltpu.VMEM((R + 8, B, HB), jnp.float32),
             pltpu.VMEM((8, B, HB), jnp.float32),  # cross-block spill carry
@@ -289,10 +325,10 @@ def _impl(re, im, consts, inv_norm, hop, length, win_len, nfft, precision,
         ),
         interpret=interpret,
     )(re, im, *cargs, norm_perm)
-    # XLA-side fixup: unpermute the (m2, m1') tiles to j = B·m1' + m2
-    # sample order — norm (and PCM16 quantization) happened in-kernel, and
-    # the frame padding guarantees the body covers the full output extent
-    data = body.swapaxes(-1, -2).reshape(N, n_blocks * R * H)
+    # body already in sample order (in-kernel unpermute via identity
+    # dots): the (row, m1', m2) → flat merge is a pure reshape, and the
+    # frame padding guarantees the body covers the full output extent
+    data = body.reshape(N, n_blocks * R * H)
     front = win_len // 2
     return data[:, front:front + length]
 
@@ -428,10 +464,9 @@ def _wiener_kernel(y_ref, re_ref, im_ref, bdc_ref, bds_ref, tc_ref, ts_ref,
 
         carry[s] = acc[s, R:R + 8]
         out = acc[s, :R] * norm
-        if pcm16:
-            out = jnp.clip(jnp.round(out * 32768.0), -32768.0, 32767.0)
-            out = out.astype(jnp.int16)
-        body_ref[0, s] = out
+        # sample-order unpermute in VMEM (see _transpose_rows)
+        for r, t in enumerate(_transpose_rows(out, _eye(out.shape[-1]), pcm16)):
+            body_ref[0, s, r] = t
 
 
 def _pick_r_wiener(nfft: int, bins: int, S: int, G: int, H: int) -> int:
@@ -496,9 +531,9 @@ def _impl_wiener(y, re, im, consts, inv_norm, hop, length, win_len, nfft,
             pl.BlockSpec((R, B, HB), lambda b, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, S, R, B, HB), lambda b, j: (b, 0, j, 0, 0),
+        out_specs=pl.BlockSpec((1, S, R, HB, B), lambda b, j: (b, 0, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Nt, S, n_blocks * R, B, HB), out_dt),
+        out_shape=jax.ShapeDtypeStruct((Nt, S, n_blocks * R, HB, B), out_dt),
         scratch_shapes=[
             pltpu.VMEM((S, R + 8, B, HB), jnp.float32),
             pltpu.VMEM((S, 8, B, HB), jnp.float32),  # cross-block spill carry
@@ -512,9 +547,9 @@ def _impl_wiener(y, re, im, consts, inv_norm, hop, length, win_len, nfft,
         ),
         interpret=interpret,
     )(y, re, im, *cargs, norm_perm)
-    # XLA-side fixup: unpermute the (m2, m1') tiles to j = B·m1' + m2
-    # sample order (same as the plain kernel)
-    data = body.swapaxes(-1, -2).reshape(Nt, S, n_blocks * R * H)
+    # body already in sample order (in-kernel unpermute, same as the
+    # plain kernel) — the flat merge is a pure reshape
+    data = body.reshape(Nt, S, n_blocks * R * H)
     front = win_len // 2
     return data[..., front:front + length]
 

@@ -358,17 +358,28 @@ def _phase_merge_tail(
 ) -> jnp.ndarray:
     """(N, Wo, T, stride·I) full-conv output → (N, T, F, I): merge the
     stride phases into freq bins, slice the valid full-conv extent
-    ((in_freq-1)·stride + kw), zero-pad to `out_freq`, reorient."""
+    ((in_freq-1)·stride + kw), zero-pad to `out_freq`, reorient.
+
+    ONE transpose, not two: moving T out FIRST makes the (Wo, stride)
+    phase merge a contiguous-minor-dims reshape (free), so the whole tail
+    is a single materialized copy + slice/pad. The original
+    reshape→transpose(0,1,3,2,4)→transpose(0,2,1,3) form cost two
+    near-bandwidth passes over the (B·nseg·S, Wo, T, stride) family —
+    copy.112 (6.5 ms) + copy.113 (6.1 ms) in the highres4096 b32 trace
+    (2026-08-20); this form lowers to one."""
     N, Wo, T, _ = o.shape
-    o = o.reshape(N, Wo, T, stride, I).transpose(0, 1, 3, 2, 4)
-    o = o.reshape(N, Wo * stride, T, I)
+    o = o.reshape(N, Wo, T, stride, I).transpose(0, 2, 1, 3, 4)
+    o = o.reshape(N, T, Wo * stride, I)
     w_full = (in_freq - 1) * stride + kw
-    o = o[:, :w_full]
-    if out_freq < o.shape[1]:
+    w_keep = min(w_full, o.shape[2])
+    if out_freq < w_keep:
         raise ValueError(f"decode output {o.shape} exceeds target freq {out_freq}")
-    if out_freq > o.shape[1]:
-        o = jnp.pad(o, ((0, 0), (0, out_freq - o.shape[1]), (0, 0), (0, 0)))
-    return o.transpose(0, 2, 1, 3)
+    pad_f = out_freq - w_keep
+    if w_keep != o.shape[2]:
+        o = o[:, :, :w_keep]
+    if pad_f:
+        o = jnp.pad(o, ((0, 0), (0, 0), (0, pad_f), (0, 0)))
+    return o
 
 
 def _band_matrix_for(kernel: jnp.ndarray, Tp: int) -> jnp.ndarray:
