@@ -146,20 +146,32 @@ def _transpose_rows(out, eye, pcm16):
     f32 mantissa; on-chip probe: bitwise equal, cost indistinguishable
     from a passthrough kernel). The XLA-side fixup this replaces lowered
     to a while loop + 128 full-track dynamic-update-slices — 30.6 ms of
-    the 235 ms highres4096 b32 dispatch (trace 2026-08-20)."""
+    the 235 ms highres4096 b32 dispatch (trace 2026-08-20).
+
+    Rows are transposed FOUR at a time through one dot — the sublane
+    merge (4, B, HB) → (4B, HB) is free metadata, the (HB, 4B) result
+    holds the four transposed tiles as consecutive lane blocks, and the
+    lane-slice extraction compiles cleanly (probed) — quartering the MXU
+    pass count vs a per-row loop (measured: batched 45.6 ms vs per-row
+    48.3 ms on the isolated 1.5 GB relayout probe)."""
+    R = out.shape[0]
+    Bq = out.shape[1]
+    q = 4 if R % 4 == 0 else 1
     rows = []
-    for r in range(out.shape[0]):
-        # out[i, k] = Σ_l eye[i, l]·x[k, l] = x.T — lhs/rhs both contract
-        # their LANE dim (a native MXU B·Aᵀ pass)
-        t = jax.lax.dot_general(
-            eye, out[r], (((1,), (1,)), ((), ())),
+    for g in range(R // q):
+        xq = out[g * q:(g + 1) * q].reshape(q * Bq, out.shape[2])
+        # y[i, k] = Σ_l eye[i, l]·xq[k, l] = xqᵀ — both operands contract
+        # their LANE dim (a native MXU B·Aᵀ pass); HIGHEST is exact f32
+        y = jax.lax.dot_general(
+            eye, xq, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
         if pcm16:
-            t = jnp.clip(jnp.round(t * 32768.0), -32768.0, 32767.0)
-            t = t.astype(jnp.int16)
-        rows.append(t)
+            y = jnp.clip(jnp.round(y * 32768.0), -32768.0, 32767.0)
+            y = y.astype(jnp.int16)
+        for a in range(q):
+            rows.append(y[:, a * Bq:(a + 1) * Bq])
     return rows
 
 
