@@ -255,6 +255,9 @@ def _matrix_one(
                 preset.transform.hop_size,
                 preset.sep.wiener_p,
             ) if preset.transform.fft_impl == "matmul" else "n/a",
+            # mask-tail dtype (ConvSepConfig.mask_dtype): bf16 halves the
+            # decode-output family + the Wiener kernel's y reads
+            "mask_dtype": cfg.mask_dtype,
             "params_mb": round(4 * model_param_count(cfg) / 1e6, 1),
             # achieved TFLOP/s + fraction of bf16 peak at this per-track
             # time (VERDICT r1 #4: every preset row carries tflops+mfu)

@@ -219,6 +219,11 @@ def _highres4096() -> Preset:
             num_sources=4,
             conv1_freq_stride=4,
             decoder_impl="auto",
+            # bf16 mask tail: halves the decode-output family + the Wiener
+            # kernel's y reads; the mask ratio still computes in f32
+            # (ConvSepConfig.mask_dtype). Stem SNR vs the f32 tail measured
+            # far above the separation error floor (BASELINE.md 2026-08-20)
+            mask_dtype="bfloat16",
         ),
         train=TrainConfig(alpha=0.001, beta=0.01, beta_voc=0.03, vocals_idx=0, other_idx=3),
         sep=SepConfig(),
@@ -242,6 +247,7 @@ def _multires4096() -> Preset:
             num_sources=4,
             conv1_freq_stride=4,
             decoder_impl="auto",
+            mask_dtype="bfloat16",  # see highres4096
         ),
         train=TrainConfig(alpha=0.001, beta=0.01, beta_voc=0.03, vocals_idx=0, other_idx=3),
         sep=SepConfig(),

@@ -504,7 +504,13 @@ def istft_wiener(
         algorithm = "auto"
     from convsep_tpu.models.masks import wiener_mask
 
-    mask = wiener_mask(y, p=p, eps=eps, axis=-3, conserve_last=conserve_last)
+    # bf16 mask-tail parity with the mega-kernel: the kernel upcasts y to
+    # f32 in VMEM before the ratio — the XLA chain must do the same so
+    # the two paths stay equal (tests compare them elementwise)
+    mask = wiener_mask(
+        y.astype(jnp.float32), p=p, eps=eps, axis=-3,
+        conserve_last=conserve_last,
+    )
     return istft_matmul(
         mask * jnp.expand_dims(re, -3), mask * jnp.expand_dims(im, -3),
         window, hop, length, nfft=nfft, precision=precision,

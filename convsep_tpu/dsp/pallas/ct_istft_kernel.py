@@ -444,10 +444,13 @@ def _wiener_kernel(y_ref, re_ref, im_ref, bdc_ref, bds_ref, tc_ref, ts_ref,
           w2_ref[:], alt_ref[:], sel_ref[:])
 
     def _pow(v):
-        v = jnp.maximum(v, 0.0)
+        # mask math in f32 regardless of the y storage dtype (the bf16
+        # mask tail halves the kernel's dominant y-read traffic; the
+        # RATIO still computes at full precision)
+        v = jnp.maximum(v.astype(jnp.float32), 0.0)
         return v * v if p == 2.0 else v
 
-    yv = y_ref[0]          # (S, R, bins)
+    yv = y_ref[0]          # (S, R, bins), f32 or bf16 (mask_dtype)
     re_blk = re_ref[0]     # (R, bins)
     im_blk = im_ref[0]
     denom = jnp.full(re_blk.shape, jnp.float32(eps))
@@ -481,12 +484,20 @@ def _wiener_kernel(y_ref, re_ref, im_ref, bdc_ref, bds_ref, tc_ref, ts_ref,
             body_ref[0, s, r] = t
 
 
-def _pick_r_wiener(nfft: int, bins: int, S: int, G: int, H: int) -> int:
+def _pick_r_wiener(
+    nfft: int, bins: int, S: int, G: int, H: int, y_bytes: int = 4
+) -> int:
     """Frames per block: largest multiple of G in {64, 32, 16, 8, G} whose
     VMEM footprint estimate fits. The plain kernel's measured envelope
     (R=128 → 17.22 MB, over scope; R=64 fits) calibrates the constant:
     double-buffered streamed blocks + scratch + ~4 block-sized temporaries
-    (denom / er / ei / group tiles)."""
+    (denom / er / ei / group tiles). `y_bytes` is accepted for the bf16
+    mask tail but deliberately IGNORED for the R choice: the in-VMEM f32
+    upcast temporaries eat exactly what the smaller stream frees (R=64
+    with bf16 y measured 22.5 MB actual vs 16 MB scope — compile-time
+    VMEM OOM 2026-08-20), so R must stay what the f32 calibration picks;
+    the HBM read still halves."""
+    del y_bytes
     for R in (64, 32, 16, 8):
         if R < G or R % G:
             continue
@@ -505,7 +516,7 @@ def _impl_wiener(y, re, im, consts, inv_norm, hop, length, win_len, nfft,
     k_ratio = win_len // H
     Nt, S, nf, bins = y.shape
     G = consts["G"]
-    R = max(_pick_r_wiener(nfft, bins, S, G, H), G)
+    R = max(_pick_r_wiener(nfft, bins, S, G, H, y.dtype.itemsize), G)
     n_blocks = -(-(nf + k_ratio - 1) // R)
     pad_f = n_blocks * R - nf
     if pad_f:
@@ -553,8 +564,9 @@ def _impl_wiener(y, re, im, consts, inv_norm, hop, length, win_len, nfft,
         cost_estimate=pl.CostEstimate(
             flops=2 * Nt * S * n_blocks * R * (2 * 128 * 128 * G * B
                                                + 128 * G * B * 128) // G,
-            bytes_accessed=Nt * n_blocks * R * (4 * (S + 2) * bins
-                                                + S * (2 if pcm16 else 4) * H),
+            bytes_accessed=Nt * n_blocks * R * (
+                (S * y.dtype.itemsize + 2 * 4) * bins
+                + S * (2 if pcm16 else 4) * H),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -620,7 +632,10 @@ def istft_ct_pallas_wiener(
         )
     S = int(y.shape[-3])
     Nt = int(np.prod(lead)) if lead else 1
-    y4 = jnp.asarray(y, jnp.float32).reshape(Nt, S, expect, y.shape[-1])
+    # y keeps its storage dtype (bf16 mask tail halves the kernel's y
+    # stream); the kernel upcasts to f32 in VMEM for the mask ratio
+    ydt = y.dtype if y.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    y4 = jnp.asarray(y, ydt).reshape(Nt, S, expect, y.shape[-1])
     re3 = jnp.asarray(re, jnp.float32).reshape(Nt, expect, re.shape[-1])
     im3 = jnp.asarray(im, jnp.float32).reshape(Nt, expect, im.shape[-1])
     inv_norm = 1.0 / ola_norm(

@@ -70,6 +70,18 @@ class ConvSepConfig:
     # MXU compute dtype: "float32" (parity) or "bfloat16" (speed; params stay
     # float32, activations/matmuls run bf16, output cast back to float32).
     compute_dtype: str = "float32"
+    # Dtype of the DECODE OUTPUT / mask-magnitude tail (the (B·nseg, S,
+    # W_pad, T·M) → (B, S, nf, F) tensor family between the decoder and
+    # the Wiener mask). "bfloat16" halves the bytes of every post-decode
+    # layout pass AND the Wiener kernel's dominant y-read traffic; the
+    # mask RATIO y_s/Σy_j is still computed in f32 (the kernel upcasts in
+    # VMEM), so only the magnitudes themselves carry bf16 rounding
+    # (~0.4% rel) — measured stem SNR vs the f32 tail is far above the
+    # separation error floor (see BASELINE.md 2026-08-20 decision
+    # record). The r4 compute_dtype=bfloat16 A/B was a wash precisely
+    # because it left this tail in f32. Training always uses float32
+    # (trainable_config resets it).
+    mask_dtype: str = "float32"
     # Tied-decoder implementation: "bandconv" (default) = BOTH decode
     # stages composed into one conv along W' (band_freq_conv_kernel — the
     # (N·W, T·I) intermediate never materializes; dsd100 scan64 4.92→3.53
@@ -354,7 +366,8 @@ def _freq_conv_kernel(kernel: jnp.ndarray, stride: int) -> tuple[jnp.ndarray, in
 
 
 def _phase_merge_tail(
-    o: jnp.ndarray, stride: int, I: int, kw: int, in_freq: int, out_freq: int
+    o: jnp.ndarray, stride: int, I: int, kw: int, in_freq: int, out_freq: int,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """(N, Wo, T, stride·I) full-conv output → (N, T, F, I): merge the
     stride phases into freq bins, slice the valid full-conv extent
@@ -366,7 +379,12 @@ def _phase_merge_tail(
     reshape→transpose(0,1,3,2,4)→transpose(0,2,1,3) form cost two
     near-bandwidth passes over the (B·nseg·S, Wo, T, stride) family —
     copy.112 (6.5 ms) + copy.113 (6.1 ms) in the highres4096 b32 trace
-    (2026-08-20); this form lowers to one."""
+    (2026-08-20); this form lowers to one.
+
+    `out_dtype` (mask_dtype): cast BEFORE the transpose so the
+    materialized pass moves half the bytes when the mask tail is bf16."""
+    if out_dtype is not None:
+        o = o.astype(out_dtype)
     N, Wo, T, _ = o.shape
     o = o.reshape(N, Wo, T, stride, I).transpose(0, 2, 1, 3, 4)
     o = o.reshape(N, T, Wo * stride, I)
@@ -493,6 +511,10 @@ def trainable_config(cfg: "ConvSepConfig") -> "ConvSepConfig":
         # output-pad expansion: same math, GEMM weight-gradient (see
         # ConvSepConfig.expand_pad)
         cfg = dataclasses.replace(cfg, expand_pad="output")
+    if cfg.mask_dtype != "float32":
+        # the bf16 mask tail is an inference-serving trade; gradients
+        # flow through the decode output, so training keeps f32
+        cfg = dataclasses.replace(cfg, mask_dtype="float32")
     return cfg
 
 
@@ -941,8 +963,9 @@ class ConvSep(nn.Module):
                 k2c, k1c, cfg.enc_time, cfg.conv1_freq_stride
             )
             o4, W_pad_k = band_freq_decode_pallas(
-                fc, kexp, bexp, KC, ktaps, S, cfg.enc_freq, TpC, dt
-            )  # (B, S, W_pad_k, T·M)
+                fc, kexp, bexp, KC, ktaps, S, cfg.enc_freq, TpC, dt,
+                out_dtype=jnp.dtype(cfg.mask_dtype),
+            )  # (B, S, W_pad_k, T·M) in mask_dtype
             d1 = _phase_merge_tail(
                 o4.reshape(B * S, W_pad_k, T, M),
                 cfg.conv1_freq_stride, C, cfg.conv1_freq,
@@ -1038,6 +1061,7 @@ class ConvSep(nn.Module):
                 d1 = _phase_merge_tail(
                     o, cfg.conv1_freq_stride, C, cfg.conv1_freq,
                     cfg.enc_freq, cfg.feat_size,
+                    out_dtype=jnp.dtype(cfg.mask_dtype),
                 )
                 return self._finish(d1, B, S, C, cfg)
             d2f = band_decode_wmajor_rows(
@@ -1119,12 +1143,15 @@ class ConvSep(nn.Module):
         # (B*S, T, F, C) → collapse channels → (B, S, T, F); leading-dim
         # reshape only — no materialized transpose
         out_bias = self.param("out_bias", nn.initializers.zeros, (S,))
+        # the output rides in mask_dtype (bf16 halves every downstream
+        # layout pass + the Wiener kernel's y reads; f32 = exact parity)
+        md = jnp.dtype(cfg.mask_dtype)
         if cfg.decoder_reduce == "all":
             # stereo-native joint model: keep per-channel source estimates
             # (B, S, T, F, C) — trailing channel broadcasts through the
             # Wiener mask exactly like the mono layouts
             y = d1.reshape(B, S, cfg.time_context, cfg.feat_size, C)
-            return nn.relu(y.astype(jnp.float32) + out_bias[:, None, None, None])
+            return nn.relu(y.astype(md) + out_bias.astype(md)[:, None, None, None])
         if cfg.decoder_reduce == "first":
             d = d1[..., 0]
         elif cfg.decoder_reduce == "sum":
@@ -1133,7 +1160,7 @@ class ConvSep(nn.Module):
             raise ValueError(f"unknown decoder_reduce {cfg.decoder_reduce!r}")
         y = d.reshape(B, S, cfg.time_context, cfg.feat_size)
 
-        return nn.relu(y.astype(jnp.float32) + out_bias[:, None, None])
+        return nn.relu(y.astype(md) + out_bias.astype(md)[:, None, None])
 
     def separate(
         self, x: jnp.ndarray, mix: jnp.ndarray, p: float = 1.0, eps: float = 1e-8

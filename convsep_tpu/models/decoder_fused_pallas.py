@@ -112,7 +112,9 @@ def _kernel(fc_ref, k4_ref, b_ref, kcat_ref, out_ref, acc, carry,
         acc[:, 0:spill] += carry[:]
 
     carry[:] = acc[:, WB:WB + spill]
-    out_ref[:, 0] = acc[:, :WB, :out_ref.shape[-1]]
+    # out_ref dtype = mask_dtype: a bf16 mask tail halves the kernel's
+    # dominant HBM write and every downstream layout pass over it
+    out_ref[:, 0] = acc[:, :WB, :out_ref.shape[-1]].astype(out_ref.dtype)
 
 
 def band_freq_decode_pallas(
@@ -126,6 +128,7 @@ def band_freq_decode_pallas(
     TpC: int,
     dt,
     interpret: bool | None = None,
+    out_dtype=jnp.float32,
 ) -> tuple[jnp.ndarray, int]:
     """fc (B, J) → decode output (B, S, W_pad, T·M) ≡ the bandconv conv
     output rows [0, W_pad) (its final ktaps−1 rows are the discardable
@@ -204,7 +207,7 @@ def band_freq_decode_pallas(
         out_specs=pl.BlockSpec((BB, 1, _WB, TM),
                                lambda s, bb, wb: (bb, s, wb, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B_pad, S, W_pad, TM), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B_pad, S, W_pad, TM), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((BB, _WB + spill, TMp), jnp.float32),
             pltpu.VMEM((BB, spill, TMp), jnp.float32),
@@ -214,7 +217,7 @@ def band_freq_decode_pallas(
             bytes_accessed=(
                 n_bb * k4.size * k4.dtype.itemsize
                 + S * n_wb * B_pad * J * 2
-                + B_pad * S * W_pad * TM * 4
+                + B_pad * S * W_pad * TM * jnp.dtype(out_dtype).itemsize
             ),
             transcendentals=0,
         ),

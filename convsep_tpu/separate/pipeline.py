@@ -208,7 +208,8 @@ def separate_fused(
         )
     else:
         mask = wiener_mask(
-            y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=0,
+            y_frames.astype(jnp.float32), p=preset.sep.wiener_p,
+            eps=preset.sep.wiener_eps, axis=0,
             conserve_last=conserve_last,
         )  # (S, nf, bins); real mask ⇒ mixture phase kept
         est_spec = mask * spec[None]  # (S, nf, bins) complex
@@ -309,7 +310,8 @@ def separate_fused_batch(
             conserve_last=conserve_last,
         )
     mask = wiener_mask(
-        y_frames, p=preset.sep.wiener_p, eps=preset.sep.wiener_eps, axis=1,
+        y_frames.astype(jnp.float32), p=preset.sep.wiener_p,
+        eps=preset.sep.wiener_eps, axis=1,
         conserve_last=conserve_last,
     )  # (B, S, nf, bins)
     stems = istft(mask * spec[:, None], win, t.hop_size, length, nfft=t.nfft)
