@@ -306,6 +306,8 @@ def _separate_online(args, preset, params) -> int:
     osep = OnlineSeparator(
         preset, params, chunk_segments=args.chunk_segments,
         output_dtype="int16", input_dtype="int16",
+        complement_last=args.complement_last,
+        max_pending=args.max_pending,
     )
     block = int(args.block_samples)
 
@@ -720,7 +722,8 @@ def main(argv=None) -> int:
     se.add_argument("--online", action="store_true", help="push/flush live-streaming mode: read the input in --block-samples blocks, emit stems with bounded latency, print steady RTF + latency stats (use -i - for raw mono PCM16 on stdin)")
     se.add_argument("--block-samples", type=int, default=16384, help="push block size for --online (capture granularity)")
     se.add_argument("--chunk-segments", type=int, default=32, help="time-context windows per chunk for --chunked/--online (--online latency = chunk span + one window; lower = less latency, higher = more throughput)")
-    se.add_argument("--complement-last", action="store_true", help="conservative masks (sum to exactly 1) + derive the LAST stem host-side as mixture - sum(others), skipping 1/S of the downloads (whole-track, --chunked, and stereo paths)")
+    se.add_argument("--complement-last", action="store_true", help="conservative masks (sum to exactly 1) + derive the LAST stem host-side as mixture - sum(others), skipping 1/S of the downloads (whole-track, --chunked, --online, and stereo paths)")
+    se.add_argument("--max-pending", type=int, default=0, help="--online only: chunks allowed in flight across pushes (0 = strict latency, every finished chunk returns from its own push; >0 = serving mode, downloads overlap the next chunk's compute)")
     se.add_argument("--unsafe-pickle", action="store_true", help="allow arbitrary (unrestricted) pickle loading; only for trusted checkpoint files")
     se.add_argument("--decoder-impl", default=None, choices=("auto", "bandconv", "bandconv_pallas", "bandconv_nlast", "bandgemm", "band", "band_einsum", "fused", "conv", "conv_transpose", "band_pallas"), help="tied-decoder implementation override (default: preset; see docs/PALLAS_PROFILE.md)")
     se.set_defaults(fn=_cmd_separate)

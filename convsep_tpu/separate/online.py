@@ -30,6 +30,8 @@ set `chunk_segments` by the latency budget; throughput prefers it large.
 from __future__ import annotations
 
 import math
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 
 import jax.numpy as jnp
 import numpy as np
@@ -65,7 +67,23 @@ class OnlineSeparator:
         chunk_segments: int = 8,
         output_dtype: str = "float32",
         input_dtype: str = "float32",
+        fetch_streams: int = 4,
+        complement_last: bool = False,
+        conserve_last: bool = False,
+        max_pending: int = 0,
     ):
+        """`fetch_streams`/`max_pending`/`complement_last` (VERDICT r4 #4):
+        the r4 online path fetched each chunk's stems synchronously inside
+        push() — chunk k's download serialized against chunk k+1's compute,
+        the exact overlap ChunkedSeparator already had. Stem fetches now
+        ride a thread pool; `max_pending` chunks may stay in flight across
+        push() calls (0 = emit synchronously, the strict-latency default —
+        every finished chunk's stems return from the SAME push; k > 0 =
+        serving mode: a chunk's emission may slide to a later push while
+        its download overlaps the next chunk's compute, bounded by k
+        chunks). `complement_last` (implies conserve_last) skips the last
+        stem's download and derives it host-side as mixture − Σ others —
+        (S−1)/S of the transfer bytes, same contract as ChunkedSeparator."""
         t, m = preset.transform, preset.model
         self._stereo = m.decoder_reduce == "all"
         self._n_extra = 0
@@ -106,6 +124,17 @@ class OnlineSeparator:
         self.chunk_segments = int(chunk_segments)
         self.output_dtype = output_dtype
         self.input_dtype = input_dtype
+        if complement_last and m.num_sources < 2:
+            raise ValueError(
+                "complement_last requires a preset with >= 2 sources "
+                f"(got num_sources={m.num_sources})"
+            )
+        self.complement_last = bool(complement_last)
+        self.conserve_last = bool(conserve_last or complement_last)
+        self.max_pending = int(max_pending)
+        self._pool = ThreadPoolExecutor(
+            max_workers=int(fetch_streams), thread_name_prefix="convsep-online-fetch"
+        )
         self._W, self._hop = t.frame_size, t.hop_size
         self._span = m.time_context * self.chunk_segments * t.hop_size
         self._norm_cache: dict = {}
@@ -138,6 +167,7 @@ class OnlineSeparator:
         self._exbuf = np.zeros(
             (0, self.preset.model.feat_size, self._n_extra), np.float32
         )
+        self._pending: deque = deque()  # (chunk_idx, [stem futures], mix_slice)
         self._finished = False
 
     # -- internals -----------------------------------------------------------
@@ -158,8 +188,10 @@ class OnlineSeparator:
         self._pushed += samples.shape[-1]
         self._buf = np.concatenate([self._buf, samples], axis=-1)
 
-    def _dispatch(self, norm: jnp.ndarray) -> np.ndarray:
-        """Run the chunk program on the buffer's first span and advance."""
+    def _dispatch(self, norm: jnp.ndarray) -> None:
+        """Dispatch the chunk program on the buffer's first span (ASYNC —
+        XLA returns immediately), submit its stem downloads to the fetch
+        pool, queue the pending entry, and advance the stream."""
         W, hop, span = self._W, self._hop, self._span
         dev = jnp.asarray(self._buf[..., : span + (W - hop)])
         chunk_fn = separate_chunk_stereo if self._stereo else separate_chunk
@@ -176,14 +208,40 @@ class OnlineSeparator:
             self.preset,
             self.chunk_segments,
             self.output_dtype,
+            conserve_last=self.conserve_last,
             **kw,
         )
-        out = np.asarray(out)  # (S[, 2], span) in padded coordinates
-        if self._chunk == 0:  # drop the W//2 front pad from the first chunk
-            out = out[..., W // 2 :]
+        S = self.preset.model.num_sources
+        n_fetch = S - 1 if self.complement_last else S
+        futs = [self._pool.submit(np.asarray, out[s]) for s in range(n_fetch)]
+        # host copy of the mixture span for complement derivation (padded
+        # coords, aligned sample-for-sample with the chunk's stems)
+        mix = self._buf[..., :span].copy() if self.complement_last else None
+        self._pending.append((self._chunk, futs, mix))
         self._buf = self._buf[..., span:]
         self._chunk += 1
-        return out
+
+    def _gather_oldest(self) -> np.ndarray:
+        """Resolve the oldest in-flight chunk → (S[, 2], n) host samples."""
+        idx, futs, mix = self._pending.popleft()
+        got = np.stack([f.result() for f in futs], 0)
+        if self.complement_last:
+            from convsep_tpu.separate.complement import derive_last_stem
+
+            last = derive_last_stem(
+                got, mix, self.input_dtype, self.output_dtype
+            )
+            got = np.concatenate([got, last[None]], 0)
+        if idx == 0:  # drop the W//2 front pad from the first chunk
+            got = got[..., self._W // 2 :]
+        return got
+
+    def _drain(self, keep: int) -> list:
+        """Gather pending chunks (oldest first) until ≤ `keep` in flight."""
+        outs = []
+        while len(self._pending) > keep:
+            outs.append(self._gather_oldest())
+        return outs
 
     def _steady_norm(self, i: int) -> jnp.ndarray:
         # a synthetic frame count ≥ two chunks past i puts both the head
@@ -232,10 +290,16 @@ class OnlineSeparator:
         # score-informed streams additionally need the chunk's conditioning
         # frames to have arrived
         Fc = self._span // self._hop
+        # dispatch FIRST (async — every ready chunk's compute is in flight
+        # before any download blocks), then drain to the pending bound:
+        # max_pending=0 keeps the strict contract (a finished chunk's stems
+        # return from the same push); >0 overlaps chunk k's download with
+        # chunk k+1's compute across pushes (VERDICT r4 #4)
         while self._buf.shape[-1] >= self._span + self._W and (
             not self._n_extra or self._exbuf.shape[0] >= Fc
         ):
-            outs.append(self._dispatch(self._steady_norm(self._chunk)))
+            self._dispatch(self._steady_norm(self._chunk))
+        outs = self._drain(self.max_pending)
         return np.concatenate(outs, axis=-1) if outs else self._empty()
 
     def flush(self) -> np.ndarray:
@@ -250,7 +314,12 @@ class OnlineSeparator:
         nc = max(1, math.ceil(nf / Fc))
         done = self._chunk
         if done >= nc:  # pathological: stream ended exactly on emitted chunks
-            return self._empty()
+            outs = self._drain(0)
+            if not outs:
+                return self._empty()
+            emitted = max(0, (done - len(outs)) * span - W // 2)
+            tail = np.concatenate(outs, axis=-1)
+            return tail[..., : max(0, L - emitted)]
         # zero-pad the buffer out to the remaining chunks' framing margin
         need = (nc - done) * span + (W - hop)
         pad = need - self._buf.shape[-1]
@@ -268,12 +337,12 @@ class OnlineSeparator:
                     np.float32,
                 )
                 self._exbuf = np.concatenate([self._exbuf, z], axis=0)
-        outs = []
+        already = done - len(self._pending)  # chunks actually RETURNED
         for i in range(done, nc):
             norm = inv_norm_slice(
                 self.preset, self.chunk_segments, i, nc, nf, self._norm_cache
             )
-            outs.append(self._dispatch(norm))
-        tail = np.concatenate(outs, axis=-1)
-        emitted = max(0, done * span - W // 2)  # true samples already returned
+            self._dispatch(norm)
+        tail = np.concatenate(self._drain(0), axis=-1)
+        emitted = max(0, already * span - W // 2)  # true samples already returned
         return tail[..., : L - emitted]

@@ -164,3 +164,59 @@ def test_online_score_informed_equals_chunked(rng):
     o3 = OnlineSeparator(preset, params, chunk_segments=2)
     with pytest.raises(ValueError, match="extra must be"):
         o3.push(audio[:100], extra=np.zeros((2, 3, 4), np.float32))
+
+
+@pytest.mark.parametrize("max_pending", [1, 3])
+def test_online_pipelined_equals_whole_track(rng, max_pending):
+    """max_pending > 0 (VERDICT r4 #4): a chunk's emission may slide to a
+    later push while its download overlaps the next chunk's compute — the
+    concatenation contract must hold bit-for-bit regardless."""
+    preset = tiny_preset()
+    params = _params(preset)
+    osep = OnlineSeparator(preset, params, chunk_segments=2, max_pending=max_pending)
+    audio = (0.1 * rng.standard_normal(6 * osep.latency_samples)).astype(np.float32)
+    got = _push_all(osep, audio, (501, 1733), rng)
+    whole = Separator(preset, params)(audio)
+    assert got.shape == whole.shape
+    np.testing.assert_allclose(got, whole, atol=1e-5)
+
+
+def test_online_complement_last_equals_whole_track(rng):
+    """complement_last: the last stem is derived host-side as mixture −
+    Σ(fetched stems) under conservative masks — equal to the conserve_last
+    whole-track separation up to the documented roundtrip error."""
+    preset = tiny_preset()
+    params = _params(preset)
+    osep = OnlineSeparator(
+        preset, params, chunk_segments=2, complement_last=True, max_pending=2
+    )
+    audio = (0.1 * rng.standard_normal(5 * osep.latency_samples)).astype(np.float32)
+    got = _push_all(osep, audio, (999,), rng)
+    whole = Separator(preset, params, conserve_last=True)(audio)
+    assert got.shape == whole.shape
+    np.testing.assert_allclose(got, whole, atol=2e-4)
+
+
+def test_online_complement_pcm16(rng):
+    """complement + int16 ends: derived stem carries the documented ≤(S−1)
+    LSB quantization error vs the fetched whole-track conserve stems."""
+    from convsep_tpu.utils.pcm import quantize_pcm16_host
+
+    preset = tiny_preset()
+    params = _params(preset)
+    osep = OnlineSeparator(
+        preset, params, chunk_segments=2,
+        complement_last=True, max_pending=1,
+        output_dtype="int16", input_dtype="int16",
+    )
+    audio = (0.1 * rng.standard_normal(4 * osep.latency_samples)).astype(np.float32)
+    pcm = quantize_pcm16_host(audio)
+    got = _push_all(osep, pcm, (777,), rng)
+    # ChunkedSeparator with the same chunk program + complement settings is
+    # the bit-exact reference (the whole-track program reassociates floats)
+    ref = ChunkedSeparator(
+        preset, params, chunk_segments=2, complement_last=True,
+        output_dtype="int16", input_dtype="int16",
+    )(pcm)
+    assert got.shape == ref.shape and got.dtype == np.int16
+    np.testing.assert_array_equal(got, ref)
