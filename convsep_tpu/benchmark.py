@@ -869,6 +869,31 @@ def run_benchmark(
                     "latency_proc_ms": round(1e3 * float(np.median(lat)), 1),
                 }
                 del osep
+                # serving mode (VERDICT r4 #4): complement-fetch + bounded
+                # pipelining — chunk k's download overlaps chunk k+1's
+                # compute; emission may slide ≤ max_pending chunks
+                osep = OnlineSeparator(
+                    preset, params, chunk_segments=cs_seg,
+                    output_dtype="int16", input_dtype="int16",
+                    complement_last=preset.model.num_sources >= 2,
+                    max_pending=2,
+                )
+                osep.push(host_pcm16)
+                osep.flush()
+                steady = []
+                for _ in range(3):
+                    osep.reset()
+                    t0 = time.perf_counter()
+                    for p in range(0, len(host_pcm16), block):
+                        osep.push(host_pcm16[p : p + block])
+                    osep.flush()
+                    steady.append(time.perf_counter() - t0)
+                online_detail[f"cs{cs_seg}_serving"] = {
+                    "rtf_steady": round(audio_sec / min(steady), 2),
+                    "complement_last": preset.model.num_sources >= 2,
+                    "max_pending": 2,
+                }
+                del osep
             except Exception as e:
                 online_detail[f"cs{cs_seg}"] = (
                     f"failed: {type(e).__name__}: {str(e)[:120]}"
