@@ -48,6 +48,13 @@ def main() -> int:
         "trained epochs — lets gate/mode sweeps reuse one training",
     )
     ap.add_argument(
+        "--conserve-ab", action="store_true",
+        help="also separate the held-out track with conserve_last=True "
+        "(masks sum to exactly 1; unclaimed TF energy to the LAST stem) and "
+        "report both stems blocks - the SDR-neutrality gate for making "
+        "complement-fetch the transfer default (VERDICT r4 #5)",
+    )
+    ap.add_argument(
         "--score-gate", default="0.0",
         help="score-gated resynthesis strength g in [0,1] at SEPARATION time "
         "(SepConfig.score_gate; 0 = input-channel conditioning only). "
@@ -211,6 +218,15 @@ def main() -> int:
             result["stems"] = stems
         else:
             result.setdefault("gate_sweep", {})[str(gate)] = stems
+    if args.conserve_ab:
+        ests_c = Separator(preset, trainer.state.params, conserve_last=True)(
+            np.asarray(mix, np.float32), extra=extra
+        )[:, : refs.shape[1]]
+        sdr_c, sir_c, _, _ = bss_eval_sources(refs, ests_c, flen=512)
+        result["stems_conserve_last"] = {
+            name: {"SDR": round(float(a), 2), "SIR": round(float(b), 2)}
+            for name, a, b in zip(preset.sources, sdr_c, sir_c)
+        }
     print(json.dumps(result))
     return 0
 
