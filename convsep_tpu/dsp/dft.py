@@ -464,11 +464,16 @@ def istft_wiener(
     p: float = 1.0,
     eps: float = 1e-8,
     conserve_last: bool = False,
+    ny: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Masked resynthesis: Wiener-mask the mixture spectrum with per-source
     magnitudes ``y`` (…, S, nf, bins; sources at axis −3) and iSTFT —
     semantically ``istft_matmul(mask·re, mask·im, …)`` with ``mask =
     wiener_mask(y, p, eps, axis=-3, conserve_last)``.
+
+    ``ny``: (…, nf) real Nyquist row when re/im are the fused forward
+    kernel's (…, nf, nfft/2) bodies (pallas/ct_stft_kernel.py) — passed
+    through to the mega-kernel; the XLA fallback concatenates it back.
 
     ``algorithm="auto"`` routes through the fused Wiener+iSTFT Mosaic
     mega-kernel (dsp/pallas/ct_istft_kernel.istft_ct_pallas_wiener) on TPU
@@ -479,7 +484,7 @@ def istft_wiener(
     unsupported); any other value takes the XLA mask+istft path with that
     algorithm."""
     if nfft is None:
-        nfft = 2 * (int(re.shape[-1]) - 1)
+        nfft = 2 * (int(re.shape[-1]) - (0 if ny is not None else 1))
     window = np.asarray(window, np.float64)
     # auto envelope (resolve_masked_synthesis): qualifying shapes with
     # nfft ≥ 2048 on TPU — where the plain ct kernel already wins and the
@@ -499,10 +504,15 @@ def istft_wiener(
             return istft_ct_pallas_wiener(
                 y, re, im, window, int(hop), int(length), nfft=int(nfft),
                 precision=precision, output_dtype=output_dtype,
-                p=p, eps=eps, conserve_last=conserve_last,
+                p=p, eps=eps, conserve_last=conserve_last, ny=ny,
             )
         algorithm = "auto"
     from convsep_tpu.models.masks import wiener_mask
+
+    if ny is not None:
+        # XLA fallback: rebuild the full half-spectrum (one concat pass)
+        re = jnp.concatenate([re, ny[..., None]], axis=-1)
+        im = jnp.concatenate([im, jnp.zeros_like(ny)[..., None]], axis=-1)
 
     # bf16 mask-tail parity with the mega-kernel: the kernel upcasts y to
     # f32 in VMEM before the ratio — the XLA chain must do the same so

@@ -187,10 +187,15 @@ def _prec_of(prec_name: str):
     }[prec_name]
 
 
-def _group_tile(xr_blk, xi_blk, rows, cr, prec, *, G, half):
+def _group_tile(xr_blk, xi_blk, rows, cr, prec, *, G, half, ny_col=None):
     """Factored iDFT of G frames' half-spectra → windowed (G·B, A) sample
     tile (t = r'·B + m2 rows, m1 lanes). Shared by the plain and the
-    Wiener-masked kernels — identical math."""
+    Wiener-masked kernels — identical math.
+
+    ``ny_col``: (R, 1) real Nyquist column when the spectra arrive
+    WITHOUT the Nyquist lane (the fused forward-STFT kernel emits the
+    (nf, nfft/2) body + a separate Nyquist row — ct_stft_kernel.py);
+    None reads it from lane `half` as before."""
     bdc, bds, tc, ts, c1, s1, w2, alt, sel = cr
     A = _A
     K2 = half // A
@@ -212,8 +217,8 @@ def _group_tile(xr_blk, xi_blk, rows, cr, prec, *, G, half):
     # broadcast to the (t, m1) layout via the selection matmul
     dc = jnp.dot(sel, xr_blk[rows, 0:1],
                  preferred_element_type=jnp.float32)      # (G·B, 1)
-    ny = jnp.dot(sel, xr_blk[rows, half:half + 1],
-                 preferred_element_type=jnp.float32)
+    ny_src = ny_col[rows] if ny_col is not None else xr_blk[rows, half:half + 1]
+    ny = jnp.dot(sel, ny_src, preferred_element_type=jnp.float32)
     return (2.0 * x - dc + ny * alt) * w2
 
 
@@ -422,11 +427,9 @@ def istft_ct_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _wiener_kernel(y_ref, re_ref, im_ref, bdc_ref, bds_ref, tc_ref, ts_ref,
-                   c1_ref, s1_ref, w2_ref, alt_ref, sel_ref, norm_ref,
-                   body_ref, acc, carry,
-                   *, R, H, nfft, G, S, prec_name, pcm16, p, eps,
-                   conserve_last):
+def _wiener_kernel(y_ref, re_ref, im_ref, *rest,
+                   R, H, nfft, G, S, prec_name, pcm16, p, eps,
+                   conserve_last, has_ny):
     """One (R frames) block of ONE track, all S sources: Wiener mask +
     complex multiply + factored iDFT + window + permuted OLA in VMEM.
 
@@ -434,7 +437,16 @@ def _wiener_kernel(y_ref, re_ref, im_ref, bdc_ref, bds_ref, tc_ref, ts_ref,
     relu(y_s)^p / (Σ_j relu(y_j)^p + eps); ``conserve_last`` adds the eps
     shortfall to the LAST source (masks sum to exactly 1 — the
     complement-fetch contract). Frame-padding rows have y = re = im = 0,
-    so their mask·spectrum is 0 under either mode."""
+    so their mask·spectrum is 0 under either mode.
+
+    ``has_ny``: the mixture spectra arrive as the fused forward kernel's
+    (R, nfft/2) body + a separate real Nyquist column (ct_stft_kernel) —
+    y still carries all nfft/2+1 bins and the Nyquist mask applies to
+    the column."""
+    if has_ny:
+        ny_ref, *rest = rest
+    (bdc_ref, bds_ref, tc_ref, ts_ref, c1_ref, s1_ref, w2_ref, alt_ref,
+     sel_ref, norm_ref, body_ref, acc, carry) = rest
     prec = _prec_of(prec_name)
     half = nfft // 2
     B = nfft // _A
@@ -450,10 +462,11 @@ def _wiener_kernel(y_ref, re_ref, im_ref, bdc_ref, bds_ref, tc_ref, ts_ref,
         v = jnp.maximum(v.astype(jnp.float32), 0.0)
         return v * v if p == 2.0 else v
 
-    yv = y_ref[0]          # (S, R, bins), f32 or bf16 (mask_dtype)
-    re_blk = re_ref[0]     # (R, bins)
+    yv = y_ref[0]          # (S, R, nfft/2+1), f32 or bf16 (mask_dtype)
+    re_blk = re_ref[0]     # (R, nfft/2+1) — or (R, nfft/2) when has_ny
     im_blk = im_ref[0]
-    denom = jnp.full(re_blk.shape, jnp.float32(eps))
+    ny_col = ny_ref[0][:, 0:1] if has_ny else None  # (R, 1) real Nyquist
+    denom = jnp.full(yv.shape[1:], jnp.float32(eps))
     for s in range(S):
         denom = denom + _pow(yv[s])
     inv_den = 1.0 / denom
@@ -462,13 +475,20 @@ def _wiener_kernel(y_ref, re_ref, im_ref, bdc_ref, bds_ref, tc_ref, ts_ref,
         yp = _pow(yv[s])
         if conserve_last and s == S - 1:
             yp = yp + jnp.float32(eps)
-        m = yp * inv_den
-        er = m * re_blk
-        ei = m * im_blk
+        m = yp * inv_den                 # (R, nfft/2+1)
+        if has_ny:
+            er = m[:, :half] * re_blk
+            ei = m[:, :half] * im_blk
+            er_ny = m[:, half:half + 1] * ny_col
+        else:
+            er = m * re_blk
+            ei = m * im_blk
+            er_ny = None
         acc[s] = jnp.zeros_like(acc[s])
         for g in range(R // G):
             rows = slice(g * G, (g + 1) * G)
-            x = _group_tile(er, ei, rows, cr, prec, G=G, half=half)
+            x = _group_tile(er, ei, rows, cr, prec, G=G, half=half,
+                            ny_col=er_ny)
             for h in range(k_ratio):
                 chunk = x[:, h * HB:(h + 1) * HB].reshape(G, B, HB)
                 acc[s, g * G + h:g * G + h + G] += chunk
@@ -511,7 +531,8 @@ def _pick_r_wiener(
 
 
 def _impl_wiener(y, re, im, consts, inv_norm, hop, length, win_len, nfft,
-                 precision, interpret, p, eps, conserve_last, pcm16=False):
+                 precision, interpret, p, eps, conserve_last, pcm16=False,
+                 ny=None):
     H = hop
     k_ratio = win_len // H
     Nt, S, nf, bins = y.shape
@@ -523,6 +544,9 @@ def _impl_wiener(y, re, im, consts, inv_norm, hop, length, win_len, nfft,
         y = jnp.pad(y, ((0, 0), (0, 0), (0, pad_f), (0, 0)))
         re = jnp.pad(re, ((0, 0), (0, pad_f), (0, 0)))
         im = jnp.pad(im, ((0, 0), (0, pad_f), (0, 0)))
+    if ny is not None:
+        # (Nt, nf) real Nyquist row → (Nt, nf_pad, 128) lane-0 blocks
+        ny = jnp.pad(ny[..., None], ((0, 0), (0, pad_f), (0, 127)))
     B = consts["B"]
     HB = H // B
     total = (nf - 1) * H + win_len
@@ -538,18 +562,25 @@ def _impl_wiener(y, re, im, consts, inv_norm, hop, length, win_len, nfft,
              ("bd_c", "bd_s", "tc", "ts", "c1", "s1", "w2", "alt", "sel")]
     cspecs = [pl.BlockSpec(c.shape, lambda b, j: (0,) * c.ndim,
                            memory_space=pltpu.VMEM) for c in cargs]
+    mix_bins = re.shape[-1]  # nfft/2 (has_ny) or nfft/2+1
+    ny_ops = () if ny is None else (ny,)
+    ny_specs = () if ny is None else (
+        pl.BlockSpec((1, R, 128), lambda b, j: (b, j, 0),
+                     memory_space=pltpu.VMEM),
+    )
     body = pl.pallas_call(
         partial(_wiener_kernel, R=R, H=H, nfft=nfft, G=G, S=S,
                 prec_name=precision, pcm16=pcm16, p=p, eps=eps,
-                conserve_last=conserve_last),
+                conserve_last=conserve_last, has_ny=ny is not None),
         grid=(Nt, n_blocks),
         in_specs=[
             pl.BlockSpec((1, S, R, bins), lambda b, j: (b, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, bins), lambda b, j: (b, j, 0),
+            pl.BlockSpec((1, R, mix_bins), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, bins), lambda b, j: (b, j, 0),
+            pl.BlockSpec((1, R, mix_bins), lambda b, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
+            *ny_specs,
             *cspecs,
             pl.BlockSpec((R, B, HB), lambda b, j: (j, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -570,7 +601,7 @@ def _impl_wiener(y, re, im, consts, inv_norm, hop, length, win_len, nfft,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(y, re, im, *cargs, norm_perm)
+    )(y, re, im, *ny_ops, *cargs, norm_perm)
     # body already in sample order (in-kernel unpermute, same as the
     # plain kernel) — the flat merge is a pure reshape
     data = body.reshape(Nt, S, n_blocks * R * H)
@@ -593,6 +624,7 @@ def istft_ct_pallas_wiener(
     p: float = 1.0,
     eps: float = 1e-8,
     conserve_last: bool = False,
+    ny: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Fused Wiener-mask + iSTFT: y (…, S, nf, bins) nonneg source
     magnitudes + re/im (…, nf, bins) mixture halves → stems (…, S, length).
@@ -600,7 +632,12 @@ def istft_ct_pallas_wiener(
     Drop-in for ``istft_matmul(mask·re, mask·im, …)`` with ``mask =
     wiener_mask(y, p, eps, axis=-3, conserve_last)`` — the masked spectra
     never materialize in HBM (docs/PALLAS_PROFILE.md addendum 11). p must
-    be 1 or 2 (the kernel envelope; other exponents take the XLA path)."""
+    be 1 or 2 (the kernel envelope; other exponents take the XLA path).
+
+    ``ny``: (…, nf) real Nyquist row when re/im are the fused forward
+    kernel's (…, nf, nfft/2) bodies (ct_stft_kernel.py — keeping the
+    Nyquist lane separate makes both kernels' HBM layouts concat-free);
+    y still carries all nfft/2+1 bins."""
     if interpret is None:
         from convsep_tpu.dsp.pallas import interpret_default
 
@@ -608,14 +645,23 @@ def istft_ct_pallas_wiener(
     window = np.asarray(window, np.float64)
     win_len = len(window)
     if nfft is None:
-        nfft = 2 * (int(re.shape[-1]) - 1)
+        nfft = 2 * (int(re.shape[-1]) - (0 if ny is not None else 1))
     if not ct_pallas_supported(int(nfft), win_len, int(hop)) or p not in (1.0, 2.0):
         raise ValueError(
             f"istft_ct_pallas_wiener unsupported for nfft={nfft} "
             f"win={win_len} hop={hop} p={p}; use wiener_mask + istft_matmul"
         )
-    if y.shape[-1] != re.shape[-1] or y.shape[-2] != re.shape[-2]:
-        raise ValueError(f"y {y.shape} does not align with re/im {re.shape}")
+    if ny is None:
+        if y.shape[-1] != re.shape[-1] or y.shape[-2] != re.shape[-2]:
+            raise ValueError(f"y {y.shape} does not align with re/im {re.shape}")
+    else:
+        if re.shape[-1] != nfft // 2 or y.shape[-1] != nfft // 2 + 1:
+            raise ValueError(
+                f"with ny, re/im must be (…, nf, {nfft // 2}) and y "
+                f"(…, S, nf, {nfft // 2 + 1}); got {re.shape} / {y.shape}"
+            )
+        if ny.shape != re.shape[:-1]:
+            raise ValueError(f"ny {ny.shape} must match re/im frames {re.shape[:-1]}")
     if analysis_window is None:
         analysis_window = window
     expect = num_frames(length, hop)
@@ -638,6 +684,7 @@ def istft_ct_pallas_wiener(
     y4 = jnp.asarray(y, ydt).reshape(Nt, S, expect, y.shape[-1])
     re3 = jnp.asarray(re, jnp.float32).reshape(Nt, expect, re.shape[-1])
     im3 = jnp.asarray(im, jnp.float32).reshape(Nt, expect, im.shape[-1])
+    ny2 = None if ny is None else jnp.asarray(ny, jnp.float32).reshape(Nt, expect)
     inv_norm = 1.0 / ola_norm(
         window.astype(np.float32), np.asarray(analysis_window, np.float32),
         int(hop), expect,
@@ -650,5 +697,5 @@ def istft_ct_pallas_wiener(
     out = _impl_wiener(y4, re3, im3, consts, inv_norm, int(hop), int(length),
                        win_len, int(nfft), precision, interpret,
                        float(p), float(eps), bool(conserve_last),
-                       pcm16=output_dtype == "int16")
+                       pcm16=output_dtype == "int16", ny=ny2)
     return out.reshape(*lead, S, length) if lead else out[0]

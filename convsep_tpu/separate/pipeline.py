@@ -129,6 +129,7 @@ def separate_fused(
     iSTFT∘STFT-roundtripped mixture; enables host-side complement-fetch
     of the last stem (VERDICT r3 #4 — previously chunked-only).
     """
+    ny = None
     t, m, tr = preset.transform, preset.model, preset.train
     if audio.dtype == jnp.int16:
         # PCM16 ingest: wav-precision samples at HALF the host→device bytes
@@ -143,9 +144,24 @@ def separate_fused(
         # nonlinearly (relu patterns / Wiener ratios); dft_precision
         # governs only the linear resynthesis matmuls below, so its output
         # error is bounded (~2.4e-7 rel at "high" — far below PCM16)
-        re, im = stft_matmul(audio, win, t.hop_size, t.nfft)  # (nf, bins) ×2
+        nfft_ = t.nfft or t.frame_size
+        from convsep_tpu.dsp.pallas.ct_stft_kernel import (
+            resolve_analysis, stft_ct_pallas,
+        )
+
+        if resolve_analysis(
+            t.analysis, t.masked_synthesis, nfft_, t.frame_size,
+            t.hop_size, preset.sep.wiener_p, (audio,),
+        ) == "ct_pallas":
+            re, im, ny = stft_ct_pallas(audio, win, t.hop_size, nfft_)
+            mag_raw = jnp.concatenate(
+                [jnp.sqrt(re * re + im * im), jnp.abs(ny)[..., None]],
+                axis=-1,
+            )
+        else:
+            re, im = stft_matmul(audio, win, t.hop_size, t.nfft)  # (nf, bins) ×2
+            mag_raw = jnp.sqrt(re * re + im * im)
         nf = re.shape[0]
-        mag_raw = jnp.sqrt(re * re + im * im)
     elif t.fft_impl == "pallas":
         # fused framing+window+DFT kernel (dsp/pallas) — frames never
         # materialize in HBM (SURVEY.md §2.2 #1)
@@ -204,7 +220,7 @@ def separate_fused(
             precision=t.dft_precision, algorithm=t.masked_synthesis,
             output_dtype=output_dtype,
             p=preset.sep.wiener_p, eps=preset.sep.wiener_eps,
-            conserve_last=conserve_last,
+            conserve_last=conserve_last, ny=ny,
         )
     else:
         mask = wiener_mask(
@@ -262,10 +278,29 @@ def separate_fused_batch(
     if tracks.dtype == jnp.int16:
         tracks = tracks.astype(jnp.float32) * (1.0 / 32768.0)
     win = _window(preset)
+    ny = None
     if t.fft_impl == "matmul":
-        re, im = stft_matmul(tracks, win, t.hop_size, t.nfft)  # (B, nf, bins)
+        nfft_ = t.nfft or t.frame_size
+        from convsep_tpu.dsp.pallas.ct_stft_kernel import (
+            resolve_analysis, stft_ct_pallas,
+        )
+
+        if resolve_analysis(
+            t.analysis, t.masked_synthesis, nfft_, t.frame_size,
+            t.hop_size, preset.sep.wiener_p, (tracks,),
+        ) == "ct_pallas":
+            # fused framing+window+factored-DFT kernel: the (B, nf, W)
+            # frames tensor never exists, spectra arrive Nyquist-separate
+            # so the downstream Wiener mega-kernel reads them concat-free
+            re, im, ny = stft_ct_pallas(tracks, win, t.hop_size, nfft_)
+            mag_raw = jnp.concatenate(
+                [jnp.sqrt(re * re + im * im), jnp.abs(ny)[..., None]],
+                axis=-1,
+            )
+        else:
+            re, im = stft_matmul(tracks, win, t.hop_size, t.nfft)  # (B, nf, bins)
+            mag_raw = jnp.sqrt(re * re + im * im)
         nf = re.shape[1]
-        mag_raw = jnp.sqrt(re * re + im * im)
     else:
         spec = stft(tracks, win, t.hop_size, t.nfft)
         nf = spec.shape[1]
@@ -307,7 +342,7 @@ def separate_fused_batch(
             precision=t.dft_precision, algorithm=t.masked_synthesis,
             output_dtype=output_dtype,
             p=preset.sep.wiener_p, eps=preset.sep.wiener_eps,
-            conserve_last=conserve_last,
+            conserve_last=conserve_last, ny=ny,
         )
     mask = wiener_mask(
         y_frames.astype(jnp.float32), p=preset.sep.wiener_p,
