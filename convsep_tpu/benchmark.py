@@ -53,6 +53,18 @@ def _progress(msg: str) -> None:
     print(f"[bench +{time.monotonic() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
+def _resolve_analysis_record(preset) -> str:
+    if preset.transform.fft_impl != "matmul":
+        return "n/a"
+    from convsep_tpu.dsp.pallas.ct_stft_kernel import resolve_analysis
+
+    t = preset.transform
+    return resolve_analysis(
+        t.analysis, t.masked_synthesis, t.nfft or t.frame_size,
+        t.frame_size, t.hop_size, preset.sep.wiener_p,
+    )
+
+
 def _timed(fn) -> float:
     t0 = time.perf_counter()
     fn()
@@ -258,6 +270,10 @@ def _matrix_one(
             # mask-tail dtype (ConvSepConfig.mask_dtype): bf16 halves the
             # decode-output family + the Wiener kernel's y reads
             "mask_dtype": cfg.mask_dtype,
+            # forward-analysis routing actually engaged (ct_pallas = the
+            # fused factored forward-STFT kernel; recorded via the same
+            # resolver the pipeline dispatch uses)
+            "analysis": _resolve_analysis_record(preset),
             "params_mb": round(4 * model_param_count(cfg) / 1e6, 1),
             # achieved TFLOP/s + fraction of bf16 peak at this per-track
             # time (VERDICT r1 #4: every preset row carries tflops+mfu)
