@@ -37,7 +37,46 @@ def main() -> int:
     ap.add_argument("--eval-every", type=int, default=2000)
     ap.add_argument("--out", default="/tmp/convsep_soak_bf16")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--dtype", default="both",
+        choices=("float32", "bfloat16", "both"),
+        help="run one dtype (child mode: prints that run's JSON + saves "
+        "final params) or 'both' (parent mode: one SUBPROCESS per dtype - "
+        "the 10k-step run leaks host memory across fit/eval cycles on this "
+        "runtime and a single both-dtype process was OOM-killed at 130 GB "
+        "RSS, 2026-08-20)",
+    )
     args = ap.parse_args()
+
+    if args.dtype == "both":
+        import json as _json
+        import subprocess
+
+        out = {"preset": args.preset, "steps": args.steps}
+        for dt in ("float32", "bfloat16"):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--preset", args.preset, "--steps", str(args.steps),
+                 "--tracks", str(args.tracks), "--seconds", str(args.seconds),
+                 "--eval-every", str(args.eval_every), "--out", args.out,
+                 "--seed", str(args.seed), "--dtype", dt],
+                capture_output=True, text=True, check=True,
+            )
+            out[dt] = _json.loads(r.stdout.strip().splitlines()[-1])[dt]
+        import numpy as _np
+
+        a = _np.load(os.path.join(args.out, "params_float32.npz"))
+        b = _np.load(os.path.join(args.out, "params_bfloat16.npz"))
+        rel = []
+        for k in a.files:
+            x, y = a[k].astype(_np.float64), b[k].astype(_np.float64)
+            rel.append(float(_np.linalg.norm(x - y) / (_np.linalg.norm(x) + 1e-12)))
+        out["param_rel_divergence_max"] = round(max(rel), 5)
+        out["param_rel_divergence_mean"] = round(float(_np.mean(rel)), 5)
+        print(_json.dumps(out))
+        return 0
+
+    import gc
 
     import numpy as np
     import jax
@@ -114,6 +153,7 @@ def main() -> int:
         while target < args.steps:
             target = min(target + args.eval_every, args.steps)
             trainer.fit(ds, max_steps=target)
+            gc.collect()  # the 10k-step soak leaks host memory otherwise
             ests = Separator(preset, trainer.state.params)(
                 np.asarray(mix, np.float32)
             )[:, : refs.shape[1]]
@@ -148,27 +188,17 @@ def main() -> int:
                 "q99": float(np.quantile(flat, 0.99)),
                 "frac_zero": float((flat == 0).mean()),
             }
-        params = [np.asarray(x, np.float64)
-                  for x in jax.tree.leaves(trainer.state.params)]
-        return {"curve": curve, "acc_stats": stats, "params": params,
+        np.savez(
+            os.path.join(args.out, f"params_{dtype}.npz"),
+            **{str(i): np.asarray(x, np.float32)
+               for i, x in enumerate(jax.tree.leaves(trainer.state.params))},
+        )
+        return {"curve": curve, "acc_stats": stats,
                 "final_step": int(trainer.state.step)}
 
-    runs = {dt: run(dt) for dt in ("float32", "bfloat16")}
-    # param divergence between the two runs at the end
-    rel = []
-    for a, b in zip(runs["float32"].pop("params"),
-                    runs["bfloat16"].pop("params")):
-        denom = np.linalg.norm(a) + 1e-12
-        rel.append(float(np.linalg.norm(a - b) / denom))
-    out = {
-        "preset": args.preset,
-        "steps": args.steps,
-        "float32": runs["float32"],
-        "bfloat16": runs["bfloat16"],
-        "param_rel_divergence_max": round(max(rel), 5),
-        "param_rel_divergence_mean": round(float(np.mean(rel)), 5),
-    }
-    print(json.dumps(out))
+    dt = args.dtype
+    print(json.dumps({"preset": args.preset, "steps": args.steps,
+                      dt: run(dt)}))
     return 0
 
 
