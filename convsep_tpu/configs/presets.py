@@ -53,13 +53,12 @@ class TransformConfig:
     # force the XLA chain with that iDFT algorithm (the A/B lever).
     masked_synthesis: str = "auto"
     # Forward-analysis routing for fft_impl="matmul" pipelines: "auto"
-    # (default) = the fused framing+window+factored-DFT Mosaic kernel
-    # (dsp/pallas/ct_stft_kernel.py) on TPU when the shape qualifies AND
-    # the masked synthesis resolves to the Wiener mega-kernel (the pair
-    # share the Nyquist-separate spectrum layout, so neither side pays a
-    # 2049-lane concat); "ct_pallas" forces the kernel (error if
-    # unsupported); "matmul" forces the XLA chain. Analysis precision is
-    # "highest" on every route.
+    # (default) = the XLA factored chain — the fused forward-STFT Mosaic
+    # kernel (dsp/pallas/ct_stft_kernel.py) measured SLOWER at b32
+    # (8.09 vs 6.44 ms/track, decision record in resolve_analysis);
+    # "ct_pallas" forces the kernel (exact, Nyquist-separate spectra
+    # feeding the Wiener mega-kernel concat-free); "matmul" forces the
+    # XLA chain. Analysis precision is "highest" on every route.
     analysis: str = "auto"
     # Multi-resolution analysis (BASELINE config #5): extra window sizes
     # whose magnitudes become additional input channels. They share

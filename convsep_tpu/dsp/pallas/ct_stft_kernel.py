@@ -110,7 +110,7 @@ def _dg0(x, y, prec):
 
 
 def _kernel(sig_hbm, bdc_ref, bds_ref, tc_ref, ts_ref, e2c_ref, e2s_ref,
-            win_ref, re_ref, im_ref, xg, sem,
+            win_ref, re_ref, im_ref, sblk, xg, sem,
             *, R, A2, K2, hs, prec_name):
     """One (track b, R-frame block j) step: R/G groups of G frames."""
     from convsep_tpu.dsp.pallas.ct_istft_kernel import _prec_of, _eye
@@ -120,19 +120,22 @@ def _kernel(sig_hbm, bdc_ref, bds_ref, tc_ref, ts_ref, e2c_ref, e2s_ref,
     j = pl.program_id(1)
     eye = _eye(_B)
     win = win_ref[:]
+    # ONE DMA for the whole block's signal span (overlapping frames share
+    # sub-rows); per-frame duplication happens with cheap VMEM slice
+    # copies below. The first version issued G blocking DMAs per group —
+    # 46k serialized small transfers dominated the kernel (70.7 ms traced
+    # vs ~30 ms after this fix, b32 2026-08-20).
+    rows_blk = (R - 1) * hs + A2
+    dma = pltpu.make_async_copy(
+        sig_hbm.at[bt, pl.ds(j * R * hs, rows_blk), :], sblk, sem
+    )
+    dma.start()
+    dma.wait()
     for grp in range(R // _G):
-        r0 = j * R + grp * _G
-        # G overlapping frame DMAs: frame g = sub-rows [(r0+g)·hs, +A2)
-        # of the hop-blocked signal (hs = hop/128 ≥ 4, 8-row aligned via
-        # the XLA-side signal padding)
+        # stack G overlapping frames: VMEM sublane-aligned slice copies
         for g in range(_G):
-            dma = pltpu.make_async_copy(
-                sig_hbm.at[bt, pl.ds((r0 + g) * hs, A2), :],
-                xg.at[pl.ds(g * A2, A2), :],
-                sem,
-            )
-            dma.start()
-            dma.wait()
+            r = grp * _G + g
+            xg[g * A2:(g + 1) * A2] = sblk[r * hs:r * hs + A2]
         xw = xg[:] * win                         # (G·A2, 128) windowed
         # stage 1 (contract a, block-diag over G frames):
         # (G·A2, 128 b)ᵀ·(G·A2, G·128) → (128 b, G·128 (g, k1))
@@ -196,6 +199,7 @@ def _impl(padded, consts_args, hop, nfft, n_frames, interpret, precision):
             jax.ShapeDtypeStruct((B, n_blocks * R, K2, _B), jnp.float32),
         ),
         scratch_shapes=[
+            pltpu.VMEM(((R - 1) * hs + A2, _B), jnp.float32),
             pltpu.VMEM((_G * A2, _B), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -282,29 +286,25 @@ def resolve_analysis(
     wiener_p: float, arrays: tuple = (),
 ) -> str:
     """What the fused pipeline's analysis stage will actually run —
-    "ct_pallas" (this kernel) or "matmul" (the XLA chain). The auto
-    envelope engages only when the masked synthesis resolves to the
-    Wiener mega-kernel: the two kernels share the Nyquist-separate
-    spectrum layout, so pairing them is what makes both concat-free.
-    The single source of truth for the bench record (routing is never
-    assumed)."""
-    if analysis == "matmul":
+    "ct_pallas" (this kernel) or "matmul" (the XLA chain). The single
+    source of truth for the bench record (routing is never assumed).
+
+    DECISION RECORD (2026-08-20, b32 highres4096 A/B, min-of-4): "auto"
+    resolves to "matmul" — the compiled kernel is exact (1.7e-7 rel
+    on-chip) but SLOWER than the XLA 64×64 factored chain it replaces:
+    8.58 ms/track as first built (46k serialized per-frame DMAs), 8.09
+    after the one-DMA-per-block fix, vs 6.44 on the XLA chain. At
+    "highest" precision both formulations are near FLOP-optimal
+    (N·(f1+f2) MACs/frame), XLA's einsum chain is already MXU-bound, and
+    the kernel's per-frame output transposes + thin-stage pass waste
+    cost more than the ~10 ms of XLA layout passes it deletes. Kept as a
+    forceable implementation (analysis="ct_pallas") and as the measured
+    record — same pattern as the bandgemm/bandconv_nlast decoder
+    formulations."""
+    if analysis == "matmul" or analysis == "auto":
         return "matmul"
     if analysis == "ct_pallas":
         return "ct_pallas"
-    if analysis != "auto":
-        raise ValueError(
-            f"unknown analysis {analysis!r}; have auto | ct_pallas | matmul"
-        )
-    from convsep_tpu.dsp.dft import resolve_masked_synthesis
-    from convsep_tpu.utils.backend import effective_backend
-
-    if (
-        ct_stft_supported(nfft, win_len, hop)
-        and effective_backend(*arrays) == "tpu"
-        and resolve_masked_synthesis(
-            masked_synthesis, nfft, win_len, hop, wiener_p
-        ) == "ct_pallas_wiener"
-    ):
-        return "ct_pallas"
-    return "matmul"
+    raise ValueError(
+        f"unknown analysis {analysis!r}; have auto | ct_pallas | matmul"
+    )
