@@ -80,7 +80,6 @@ def main() -> int:
 
     import numpy as np
     import jax
-    import jax.numpy as jnp
 
     from convsep_tpu.utils import enable_compilation_cache
 
