@@ -471,6 +471,43 @@ def _matrix_one(
                 out["rtf_batched_scan48"] = f"failed: {type(e).__name__}: {str(e)[:160]}"
             finally:
                 _free(stacked)
+
+        # on-device Wiener mega-kernel equality (VERDICT r4 #2): for the
+        # preset where the kernel carries the headline (highres4096),
+        # compare int16 stems of masked_synthesis=ct_pallas (XLA wiener →
+        # plain ct kernel) vs the engaged mega-kernel on a small batch —
+        # recorded, not asserted (≤1 LSB expected)
+        if (
+            name == "highres4096"
+            and out.get("masked_synthesis") == "ct_pallas_wiener"
+            and time.monotonic() < deadline
+        ):
+            from convsep_tpu.separate.stream import separate_batch
+
+            stacked = None
+            try:
+                stacked = jnp.stack(tracks[:4])
+                outs = {}
+                for ms in ("ct_pallas", "ct_pallas_wiener"):
+                    pm = dataclasses.replace(
+                        preset, transform=dataclasses.replace(
+                            preset.transform, masked_synthesis=ms
+                        )
+                    )
+                    o = separate_batch(params, stacked, pm, Lb, None, "int16")
+                    outs[ms] = np.asarray(o).astype(np.int32)
+                    _free(o)
+                d = np.abs(outs["ct_pallas"] - outs["ct_pallas_wiener"])
+                out["wiener_kernel_equality"] = {
+                    "max_lsb": int(d.max()),
+                    "mean_lsb": round(float(d.mean()), 5),
+                }
+            except Exception as e:
+                out["wiener_kernel_equality"] = (
+                    f"failed: {type(e).__name__}: {str(e)[:120]}"
+                )
+            finally:
+                _free(stacked)
     except Exception as e:  # record, don't kill the bench (incl. init OOM)
         msg = f"failed: {type(e).__name__}: {str(e)[:160]}"
         return {**out, "error": msg} if out else msg
