@@ -158,6 +158,15 @@ def _cmd_separate(args) -> int:
         preset = dataclasses.replace(
             preset, sep=dataclasses.replace(preset.sep, wiener_p=args.wiener_p)
         )
+    if getattr(args, "mask_dtype", None):
+        preset = dataclasses.replace(
+            preset, model=dataclasses.replace(preset.model, mask_dtype=args.mask_dtype)
+        )
+    if getattr(args, "analysis", None):
+        preset = dataclasses.replace(
+            preset,
+            transform=dataclasses.replace(preset.transform, analysis=args.analysis),
+        )
     # mode applies unconditionally (a no-op at g=0) so `--score-gate-mode
     # blend` is honored even if a preset ever ships a nonzero default gate
     # (ADVICE r4)
@@ -718,6 +727,8 @@ def main(argv=None) -> int:
     )
     se.add_argument("--stereo", action="store_true", help="separate channels independently → stereo stems (default: downmix to mono)")
     se.add_argument("--wiener-p", type=float, default=None, help="generalized Wiener exponent (default: preset, 1.0; 2.0 = classic Wiener)")
+    se.add_argument("--mask-dtype", default=None, choices=("float32", "bfloat16"), help="decoder->Wiener mask-tail dtype override (bfloat16 halves the tail's HBM passes; mask ratio stays f32 - see ConvSepConfig.mask_dtype)")
+    se.add_argument("--analysis", default=None, choices=("auto", "ct_pallas", "matmul"), help="forward-STFT routing override (TransformConfig.analysis; auto = the XLA factored chain, the measured winner)")
     se.add_argument("--chunked", action="store_true", help="stream the track in fixed-size chunks (overlapped transfers, track-length-independent compile)")
     se.add_argument("--online", action="store_true", help="push/flush live-streaming mode: read the input in --block-samples blocks, emit stems with bounded latency, print steady RTF + latency stats (use -i - for raw mono PCM16 on stdin)")
     se.add_argument("--block-samples", type=int, default=16384, help="push block size for --online (capture granularity)")
