@@ -22,7 +22,10 @@ _BLOCK_COLS = 128
 
 
 def _kernel(y_ref, mix_re_ref, mix_im_ref, out_re_ref, out_im_ref, *, p, eps):
-    y = jnp.maximum(y_ref[:], 0.0)  # (S, R, C)
+    # mask RATIO in f32 regardless of y's storage dtype (the bf16 mask
+    # tail — same contract as models.masks.wiener_mask and the ct
+    # mega-kernel, so every mask path stays equal)
+    y = jnp.maximum(y_ref[:].astype(jnp.float32), 0.0)  # (S, R, C)
     yp = y if p == 1.0 else jnp.power(y, p)
     mask = yp * pl.reciprocal(jnp.sum(yp, axis=0, keepdims=True) + eps, approx=False)
     out_re_ref[:] = mask * mix_re_ref[:][None]

@@ -39,7 +39,15 @@ def wiener_mask(
     in closed form: ``mask_last = (y_last^p + eps) / (Σ_j y_j^p + eps)``.
     This is what makes host-side complement-fetch (ChunkedSeparator's
     ``complement_last``) exact rather than approximate.
+
+    The RATIO always computes in float32 regardless of y's storage dtype
+    — the bf16 mask tail (ConvSepConfig.mask_dtype) narrows the tensors
+    between decoder and mask, and every mask consumer (this XLA chain,
+    the Wiener mega-kernel, the chunk programs) must divide in f32 so
+    the paths stay equal to each other (the chunked≡whole-track ≤1e-5
+    contract broke when only some paths upcast, 2026-08-20).
     """
+    y = y.astype(jnp.float32)
     yp = jnp.where(y > 0, y, 0.0)
     if p != 1.0:
         yp = jnp.power(yp, p)

@@ -333,7 +333,9 @@ class ChunkedSeparator:
     >>> stems = cs(audio)            # (num_sources, len(audio))
 
     Equality with the whole-track Separator is exact up to float
-    reassociation (≤1e-5); the win is pipelining — a track's uploads,
+    reassociation (≤2e-5 — still under the 3e-5 PCM16 quantization step;
+    the bf16 mask tail widened the old ≤1e-5 bound a hair); the win is
+    pipelining — a track's uploads,
     compute, and stem downloads overlap each other, and the compiled chunk
     program is track-length independent (no per-length recompiles at all,
     unlike the bucketed whole-track program).

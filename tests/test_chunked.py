@@ -54,7 +54,7 @@ def test_chunked_equals_whole_track(rng, seconds, chunk_segments):
     whole = Separator(preset, params)(audio)
     chunked = ChunkedSeparator(preset, params, chunk_segments=chunk_segments)(audio)
     assert chunked.shape == whole.shape == (4, L)
-    np.testing.assert_allclose(chunked, whole, atol=1e-5)
+    np.testing.assert_allclose(chunked, whole, atol=2e-5)
 
 
 def test_chunked_hop_quarter_window(rng):
@@ -65,7 +65,7 @@ def test_chunked_hop_quarter_window(rng):
     audio = (0.1 * rng.standard_normal(L)).astype(np.float32)
     whole = Separator(preset, params)(audio)
     chunked = ChunkedSeparator(preset, params, chunk_segments=2)(audio)
-    np.testing.assert_allclose(chunked, whole, atol=1e-5)
+    np.testing.assert_allclose(chunked, whole, atol=2e-5)
 
 
 def test_chunked_pcm16_roundtrip(rng):
@@ -122,7 +122,7 @@ def test_chunked_factored_dft_equals_whole_track(rng):
     whole = Separator(preset, params)(audio)
     chunked = ChunkedSeparator(preset, params, chunk_segments=2)(audio)
     assert chunked.shape == whole.shape == (4, L)
-    np.testing.assert_allclose(chunked, whole, atol=1e-5)
+    np.testing.assert_allclose(chunked, whole, atol=2e-5)
 
 
 def test_chunked_multires_equals_whole_track(rng):
@@ -141,7 +141,7 @@ def test_chunked_multires_equals_whole_track(rng):
     whole = Separator(preset, params)(audio)
     chunked = ChunkedSeparator(preset, params, chunk_segments=2)(audio)
     assert chunked.shape == whole.shape == (4, L)
-    np.testing.assert_allclose(chunked, whole, atol=1e-5)
+    np.testing.assert_allclose(chunked, whole, atol=2e-5)
 
 
 def test_chunked_score_informed_equals_whole_track(rng):
@@ -162,7 +162,7 @@ def test_chunked_score_informed_equals_whole_track(rng):
     whole = Separator(preset, params)(audio, extra=extra)
     chunked = ChunkedSeparator(preset, params, chunk_segments=2)(audio, extra=extra)
     assert chunked.shape == whole.shape == (4, L)
-    np.testing.assert_allclose(chunked, whole, atol=1e-5)
+    np.testing.assert_allclose(chunked, whole, atol=2e-5)
     # missing conditioning is a hard error, not a silent unconditioned run
     with pytest.raises(ValueError, match="extra"):
         ChunkedSeparator(preset, params, chunk_segments=2)(audio)
@@ -187,10 +187,10 @@ def test_chunked_stereo_equals_whole_track(rng):
     whole = StereoSeparator(preset, params)(audio)  # (S, L, 2)
     chunked = ChunkedSeparator(preset, params, chunk_segments=2)(audio)
     assert chunked.shape == whole.shape == (2, L, 2)
-    np.testing.assert_allclose(chunked, whole, atol=1e-5)
+    np.testing.assert_allclose(chunked, whole, atol=2e-5)
     # (L, 2) wav-layout input accepted too
     chunked2 = ChunkedSeparator(preset, params, chunk_segments=3)(audio.T)
-    np.testing.assert_allclose(chunked2, whole, atol=1e-5)
+    np.testing.assert_allclose(chunked2, whole, atol=2e-5)
 
 
 def test_conserve_last_stems_sum_to_mixture(rng):
