@@ -660,3 +660,35 @@ def test_separate_complement_last_cli(audio_dir, tmp_path):
     # conservation: PCM16 stems sum back to the mixture within 2 LSB
     total = sum(s.astype(np.float64) for s in stems)
     assert np.abs(total - np.asarray(mix, np.float64)).max() <= 2.5 / 32768.0
+
+
+def test_separate_mask_dtype_and_analysis_flags(audio_dir, tmp_path, monkeypatch):
+    """--mask-dtype / --analysis overrides reach the preset (r5 knobs)."""
+    import pickle
+
+    import convsep_tpu.separate as sep_mod
+    from tests.test_convert import _random_reference_values
+
+    preset = _tiny_ikala()
+    rng = np.random.default_rng(0)
+    pkl = str(tmp_path / "model.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(_random_reference_values(preset.model, rng), f, protocol=2)
+
+    captured = {}
+    orig = sep_mod.Separator
+
+    class Spy(orig):
+        def __init__(self, p, params, **kw):
+            captured["mask_dtype"] = p.model.mask_dtype
+            captured["analysis"] = p.transform.analysis
+            super().__init__(p, params, **kw)
+
+    monkeypatch.setattr(sep_mod, "Separator", Spy)
+    est = str(tmp_path / "est")
+    assert cli.main([
+        "separate", "--preset", "tinyikala", "--params", pkl,
+        "-i", os.path.join(audio_dir, "track0", "mixture.wav"), "-o", est,
+        "--mask-dtype", "bfloat16", "--analysis", "matmul",
+    ]) == 0
+    assert captured == {"mask_dtype": "bfloat16", "analysis": "matmul"}
